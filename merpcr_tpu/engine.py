@@ -1,0 +1,274 @@
+"""MerPCR engine: the user-facing orchestration class.
+
+API parity with the reference ``src/merpcr/core/engine.py`` class ``MerPCR``
+(engine.py:44-97): same constructor parameters, same bounds validation, same
+``load_sts_file`` / ``load_fasta_file`` / ``search`` methods, same output
+format — but the search path is a TPU array program (see
+``merpcr_tpu.ops.scan``) instead of interpreted per-character loops.
+
+Output contract: byte-identical to the reference CLI run with T=1 (the
+reference's T>1 path can duplicate halo hits — SURVEY.md §2.1; T=1 is ground
+truth). The ``threads`` parameter is accepted for flag compatibility; device
+tiling replaces host threading and never changes the output.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .io.fasta import FASTALoader, record_seq_bytes
+from .io.sts import STSLoader
+from .models import FASTARecord
+from .ops.scan import ScanConfig, default_config, get_scan_fn
+from .ops.table import compile_table
+
+# Constants (reference engine.py:17-39)
+AMBIG = 100
+MIN_FILESIZE_FOR_THREADING = 100000
+
+DEFAULT_MARGIN = 50
+DEFAULT_WORDSIZE = 11
+DEFAULT_MISMATCHES = 0
+DEFAULT_THREE_PRIME_MATCH = 1
+DEFAULT_IUPAC_MODE = 0
+DEFAULT_THREADS = 1
+DEFAULT_PCR_SIZE = 240
+
+MIN_WORDSIZE = 3
+MAX_WORDSIZE = 16
+MIN_MISMATCHES = 0
+MAX_MISMATCHES = 10
+MIN_MARGIN = 0
+MAX_MARGIN = 10000
+MIN_THREE_PRIME_MATCH = 0
+MIN_PCR_SIZE = 1
+MAX_PCR_SIZE = 10000
+
+# Tile-length buckets: smallest bucket covering the record is used, so small
+# inputs compile small programs; large genomes stream 512K-position tiles.
+TILE_LEN_BUCKETS = (1 << 15, 1 << 17, 1 << 19)
+MAX_ESCALATIONS = 12
+
+logger = logging.getLogger(__name__)
+
+
+class MerPCR:
+    """TPU-native e-PCR engine (API parity: reference engine.py:44-97)."""
+
+    def __init__(
+        self,
+        wordsize: int = DEFAULT_WORDSIZE,
+        margin: int = DEFAULT_MARGIN,
+        mismatches: int = DEFAULT_MISMATCHES,
+        three_prime_match: int = DEFAULT_THREE_PRIME_MATCH,
+        iupac_mode: int = DEFAULT_IUPAC_MODE,
+        default_pcr_size: int = DEFAULT_PCR_SIZE,
+        threads: int = DEFAULT_THREADS,
+        max_sts_line_length: int = 1022,
+    ):
+        self.wordsize = wordsize
+        self.margin = margin
+        self.mismatches = mismatches
+        self.three_prime_match = three_prime_match
+        self.iupac_mode = iupac_mode
+        self.default_pcr_size = default_pcr_size
+        self.threads = threads
+        # Accepted-but-unused in the reference too (SURVEY.md §2.1, cli.py:202-208)
+        self.max_sts_line_length = max_sts_line_length
+
+        self.sts_records = []
+        self.max_pcr_size = 0
+        self.total_hits = 0
+
+        self._table = None  # DeviceTable
+        self._meta = None  # TableMeta
+
+        self._validate_parameters()
+
+    def _validate_parameters(self):
+        """Bounds validation (reference engine.py:80-97)."""
+        if not (MIN_WORDSIZE <= self.wordsize <= MAX_WORDSIZE):
+            raise ValueError(
+                f"Word size must be between {MIN_WORDSIZE} and {MAX_WORDSIZE}"
+            )
+        if not (MIN_MISMATCHES <= self.mismatches <= MAX_MISMATCHES):
+            raise ValueError(
+                f"Number of mismatches must be between {MIN_MISMATCHES} and {MAX_MISMATCHES}"
+            )
+        if not (MIN_MARGIN <= self.margin <= MAX_MARGIN):
+            raise ValueError(f"Margin must be between {MIN_MARGIN} and {MAX_MARGIN}")
+        if self.three_prime_match < MIN_THREE_PRIME_MATCH:
+            raise ValueError(
+                f"Three prime match must be at least {MIN_THREE_PRIME_MATCH}"
+            )
+        if not (MIN_PCR_SIZE <= self.default_pcr_size <= MAX_PCR_SIZE):
+            raise ValueError(
+                f"Default PCR size must be between {MIN_PCR_SIZE} and {MAX_PCR_SIZE}"
+            )
+
+    # ------------------------------------------------------------------ load
+    def load_sts_file(self, filename: str) -> bool:
+        """Load + compile the STS set (reference engine.py:193-302)."""
+        res = STSLoader.load_file(filename, self.wordsize, self.default_pcr_size)
+        if not res.ok:
+            return False
+        self.sts_records = res.records
+        self.max_pcr_size = res.max_pcr_size
+        self._table, self._meta = compile_table(res, self.wordsize, bool(self.iupac_mode))
+        return True
+
+    def load_fasta_file(self, filename: str) -> List[FASTARecord]:
+        """Reference engine.py:361-363."""
+        return FASTALoader.load_file(filename)
+
+    # ---------------------------------------------------------------- search
+    def _base_config(self, tile_len: int) -> ScanConfig:
+        m = self._meta
+        return default_config(
+            wordsize=self.wordsize,
+            margin=self.margin,
+            mismatches=self.mismatches,
+            three_prime_match=self.three_prime_match,
+            lead=m.lead,
+            max_pcr_size=self.max_pcr_size,
+            p1_max=m.p1_max,
+            p2_max=m.p2_max,
+            bloom_bits=m.bloom_bits,
+            tile_len=tile_len,
+        )
+
+    @staticmethod
+    def _pick_tile_len(total_scan: int) -> int:
+        for b in TILE_LEN_BUCKETS:
+            if total_scan <= b:
+                return b
+        return TILE_LEN_BUCKETS[-1]
+
+    def _scan_record(self, seq: np.ndarray) -> list[tuple]:
+        """Run the device pipeline over one record; return raw hit tuples
+        (pos1, pos2, entry, tile_idx, pair_order, rank), already in global
+        0-based coordinates."""
+        n = len(seq)
+        if n <= self.wordsize:  # reference engine.py:458-459 (note <=)
+            return []
+        total_scan = n - self.wordsize + 1
+        cfg0 = self._base_config(self._pick_tile_len(total_scan))
+
+        hits: list[tuple] = []
+        tile_idx = 0
+        tile_start = 0
+        while tile_start < total_scan:
+            cfg = cfg0
+            for attempt in range(MAX_ESCALATIONS):
+                out = self._run_tile(cfg, seq, n, tile_start)
+                c, p, a, ht = (
+                    int(out.c_total),
+                    int(out.pair_total),
+                    int(out.anch_total),
+                    int(out.hit_total),
+                )
+                if (
+                    c <= cfg.cpos_cap
+                    and p <= cfg.cand_cap
+                    and a <= cfg.anch_cap
+                    and ht <= cfg.hit_cap
+                ):
+                    break
+                logger.debug(
+                    "tile %d overflow (cpos %d/%d cand %d/%d anch %d/%d hit %d/%d); escalating",
+                    tile_idx, c, cfg.cpos_cap, p, cfg.cand_cap, a, cfg.anch_cap,
+                    ht, cfg.hit_cap,
+                )
+                cfg = cfg.escalate()
+            else:
+                raise RuntimeError("tile capacity escalation failed to converge")
+
+            if ht:
+                pos1 = np.asarray(out.pos1[:ht])
+                pos2 = np.asarray(out.pos2[:ht])
+                entry = np.asarray(out.entry[:ht])
+                order = np.asarray(out.pair_order[:ht])
+                rank = np.asarray(out.rank[:ht])
+                for q in range(ht):
+                    hits.append(
+                        (int(pos1[q]), int(pos2[q]), int(entry[q]), tile_idx,
+                         int(order[q]), int(rank[q]))
+                    )
+            tile_start += cfg0.tile_len
+            tile_idx += 1
+        return hits
+
+    def _run_tile(self, cfg: ScanConfig, seq: np.ndarray, n: int, tile_start: int):
+        total_scan = n - self.wordsize + 1
+        n_scan = min(cfg.tile_len, total_scan - tile_start)
+        buf = np.zeros(cfg.tile_buf, dtype=np.uint8)
+        src0 = tile_start - cfg.lead
+        a = max(0, src0)
+        b = min(n, src0 + cfg.tile_buf)
+        if b > a:
+            buf[a - src0 : b - src0] = seq[a:b]
+        fn = get_scan_fn(cfg)
+        return fn(
+            self._table,
+            buf,
+            np.int32(tile_start),
+            np.int32(n_scan),
+            np.int32(n),
+        )
+
+    def search(
+        self, fasta_records: List[FASTARecord], output_file: Optional[str] = None
+    ) -> int:
+        """Search all records; emit 5-field tab-delimited hits
+        (reference engine.py:365-451; line format engine.py:442)."""
+        total_hits = 0
+        # None or the literal string "stdout" (any case) -> stdout
+        # (reference engine.py:368-371)
+        if output_file and output_file.lower() != "stdout":
+            output = open(output_file, "w")
+        else:
+            output = sys.stdout
+
+        try:
+            for record in fasta_records:
+                seq_label = record.label
+                seq = record_seq_bytes(record)
+                seq_len = len(seq)
+                logger.info(f"Processing sequence: {seq_label} ({seq_len} bp)")
+
+                t0 = time.time()
+                if self._meta is None or self._meta.n_entries == 0:
+                    raw = []
+                else:
+                    raw = self._scan_record(seq)
+
+                if raw:
+                    arr = np.asarray(raw, dtype=np.int64)
+                    # Reproduce T=1 ordering: stable sort by pos1 over hits
+                    # emitted scan-order (tile, pair, rank) — engine.py:434
+                    # + SURVEY.md §2.1 emission-order contract.
+                    key = np.lexsort((arr[:, 5], arr[:, 4], arr[:, 3], arr[:, 0]))
+                    arr = arr[key]
+                    e2r = self._meta.entry_to_record
+                    for pos1, pos2, entry, _t, _o, _r in arr:
+                        sts = self.sts_records[int(e2r[int(entry)])]
+                        print(
+                            f"{seq_label}\t{pos1 + 1}..{pos2 + 1}\t{sts.id}\t{sts.alias}\t({sts.direct})",
+                            file=output,
+                        )
+                    total_hits += len(arr)
+                logger.debug(
+                    "searched %s (%d bp) in %.3fs", seq_label, seq_len, time.time() - t0
+                )
+        finally:
+            if output is not sys.stdout:
+                output.close()
+
+        logger.info(f"Total hits found: {total_hits}")
+        self.total_hits = total_hits
+        return total_hits

@@ -1,0 +1,328 @@
+"""The tile scan pipeline — the TPU-native replacement for the reference's
+interpreted hot loops (engine.py:453-505 `_process_thread`,
+engine.py:507-597 `_match_sts`, engine.py:599-642 `_compare_seqs`).
+
+Design (array program, everything static-shaped and jit-compiled once):
+
+  tile bytes (uint8[TB], halo-padded)
+    │ 1. arithmetic 2-bit encode (no gather; exact scode semantics)
+    │ 2. rolling W-mer hash + ambiguity-window validity as W shifted ORs
+    │ 3. bucket-occupancy bitmask gather (512 KB @ W=11 — cache resident)
+    ▼
+  compacted candidate positions (nonzero, cap CPOS)
+    │ 4. exact CSR lookup: searchsorted over sorted unique hashes
+    │ 5. (pos, slot) pair expansion via searchsorted over count prefix sums
+    ▼
+  candidate pairs (cap CAND) ── 6. primer1 verify: match-matrix gather,
+    │                              mismatch budget + 3' tail protection
+    ▼
+  anchors (nonzero, cap ANCH) ─ 7. margin-window primer2 verify over all
+    │                              2*margin+1 offsets at once (+ head 3'
+    │                              protection), reference clamp semantics
+    ▼
+  hits (nonzero, cap HIT): pos1/pos2/entry + emission-order keys
+
+Semantics notes (each is load-bearing for byte-identical output):
+* A scan window is usable iff it contains no ambiguous base — provably
+  equivalent to the reference's N-countdown (engine.py:462-478, 496-503):
+  N==0 at pos p iff no AMBIG base in [p, p+W-1].
+* Scan positions are partitioned across tiles (each position owned by
+  exactly one tile), so cross-tile hits are never duplicated and no dedup
+  pass is needed; halos only provide read-only context. Coordinates and
+  end-of-sequence clamps are computed in GLOBAL record coordinates, so
+  tiling is invisible to the output (unlike the reference's T>1 chunking
+  bug, SURVEY.md §2.1 — we match its T=1 ground truth).
+* Emission order: the reference appends hits scanning pos ascending, bucket
+  slots in file order, and window offsets expected-first-then ±1, ±2, …
+  (engine.py:543-593), then stable-sorts by pos1 (engine.py:434). We carry
+  (pair_order, rank) keys per hit; the host sorts by
+  (pos1, tile, pair_order, rank) to reproduce the exact order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .encoding import AMBIG
+from .table import DeviceTable
+
+
+@dataclass(frozen=True)
+class ScanConfig:
+    """Static (compile-time) scan parameters."""
+
+    wordsize: int
+    margin: int  # -M (reference engine.py:22, cli.py:137-143)
+    mismatches: int  # -N
+    three_prime_match: int  # -X
+    tile_len: int  # scan positions per tile (L)
+    lead: int  # left halo bytes  = max hash_offset over entries
+    tail: int  # right halo bytes = max_pcr_size + margin
+    p1_max: int
+    p2_max: int
+    bloom_bits: int
+    cpos_cap: int
+    cand_cap: int
+    anch_cap: int
+    hit_cap: int
+
+    @property
+    def tile_buf(self) -> int:
+        return self.lead + self.tile_len + self.tail
+
+    @property
+    def n_ranks(self) -> int:
+        return 2 * self.margin + 1
+
+    def escalate(self, factor: int = 4) -> "ScanConfig":
+        """Larger capacities for tiles that overflow the fixed buffers."""
+        return ScanConfig(
+            **{
+                **self.__dict__,
+                "cpos_cap": min(self.cpos_cap * factor, self.tile_len),
+                "cand_cap": self.cand_cap * factor,
+                "anch_cap": self.anch_cap * factor,
+                "hit_cap": self.hit_cap * factor,
+            }
+        )
+
+
+class ScanOut(NamedTuple):
+    """Per-tile scan results (fixed capacity; *_total give true counts)."""
+
+    c_total: jnp.ndarray  # int32 — candidate positions found
+    pair_total: jnp.ndarray  # int32 — (pos, slot) pairs expanded
+    anch_total: jnp.ndarray  # int32 — primer1-passing anchors
+    hit_total: jnp.ndarray  # int32 — hits emitted
+    pos1: jnp.ndarray  # int32[hit_cap] global 0-based anchor position
+    pos2: jnp.ndarray  # int32[hit_cap] global 0-based amplicon end (inclusive)
+    entry: jnp.ndarray  # int32[hit_cap] device entry index
+    pair_order: jnp.ndarray  # int32[hit_cap] within-tile emission key (major)
+    rank: jnp.ndarray  # int32[hit_cap] within-anchor emission key (minor)
+
+
+def _encode_codes(tile_bytes: jnp.ndarray) -> jnp.ndarray:
+    """Exact scode semantics (reference engine.py:102-109) without a gather:
+    A/a->0 C/c->1 G/g->2 T/t/U/u->3, everything else AMBIG."""
+    b = tile_bytes.astype(jnp.int32)
+    folded = b | 32  # lowercase letters unchanged; uppercase -> lowercase
+    is_letter = (folded >= ord("a")) & (folded <= ord("z"))
+    b5 = b & 0x1F
+    code = jnp.where(
+        b5 == 1, 0,
+        jnp.where(
+            b5 == 3, 1,
+            jnp.where(b5 == 7, 2, jnp.where((b5 == 20) | (b5 == 21), 3, AMBIG)),
+        ),
+    )
+    return jnp.where(is_letter, code, AMBIG)
+
+
+def _scan_tile(
+    cfg: ScanConfig,
+    table: DeviceTable,
+    tile_bytes: jnp.ndarray,  # uint8[TB]
+    tile_start: jnp.ndarray,  # int32 scalar: global scan pos of local index 0
+    n_scan: jnp.ndarray,  # int32 scalar: valid scan positions (<= tile_len)
+    record_len: jnp.ndarray,  # int32 scalar: global record length
+) -> ScanOut:
+    W = cfg.wordsize
+    L = cfg.tile_len
+    LEAD = cfg.lead
+    TB = cfg.tile_buf
+    X = cfg.three_prime_match
+    NMM = cfg.mismatches
+    M = cfg.margin
+    R = cfg.n_ranks
+    E = table.hash_offset.shape[0]
+    U = table.uhash.shape[0]
+
+    # ---- 1-2. rolling hash + validity over all L scan positions -----------
+    codes = _encode_codes(tile_bytes)  # int32[TB]
+    isamb = codes == AMBIG
+    cc = jnp.where(isamb, 0, codes).astype(jnp.uint32)
+
+    h = jnp.zeros((L,), dtype=jnp.uint32)
+    amb = jnp.zeros((L,), dtype=jnp.bool_)
+    for i in range(W):  # static unroll: W <= 16 shifted ORs (VPU)
+        h = (h << 2) | jax.lax.dynamic_slice(cc, (LEAD + i,), (L,))
+        amb = amb | jax.lax.dynamic_slice(isamb, (LEAD + i,), (L,))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+    pvalid = (~amb) & (lane < n_scan)
+
+    # ---- 3. occupancy bitmask --------------------------------------------
+    shift = 2 * W - cfg.bloom_bits  # >= 0
+    bk = (h >> shift) if shift else h
+    word = table.bloom[(bk >> 5).astype(jnp.int32)]
+    hasbit = ((word >> (bk & 31)) & 1) == 1
+    flag = pvalid & hasbit
+
+    # ---- 4. compact candidate positions + exact CSR lookup ----------------
+    (cpos,) = jnp.nonzero(flag, size=cfg.cpos_cap, fill_value=0)
+    c_total = jnp.sum(flag.astype(jnp.int32))
+    clane = jax.lax.broadcasted_iota(jnp.int32, (cfg.cpos_cap,), 0)
+    cvalid = clane < c_total
+
+    hc = h[cpos]
+    u = jnp.searchsorted(table.uhash, hc)
+    uc = jnp.clip(u, 0, U - 1)
+    found = (u < U) & (table.uhash[uc] == hc)
+    start = table.ustart[uc]
+    cnt = jnp.where(found & cvalid, table.ustart[uc + 1] - start, 0)
+
+    # ---- 5. (pos, slot) pair expansion ------------------------------------
+    csum = jnp.cumsum(cnt)
+    pair_total = csum[-1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
+    src = jnp.searchsorted(csum, j, side="right")
+    pair_valid = j < pair_total
+    srcc = jnp.clip(src, 0, cfg.cpos_cap - 1)
+    slot = j - (csum[srcc] - cnt[srcc])
+    entry = jnp.clip(start[srcc] + slot, 0, E - 1)
+    ppos = cpos[srcc]  # local scan position of each pair
+
+    # ---- 6. primer1 verify (reference engine.py:486-515, 599-642 '+') -----
+    hoff = table.hash_offset[entry]
+    kg = tile_start + ppos - hoff  # global anchor
+    kl = ppos - hoff + LEAD  # local buffer index of anchor
+    l1 = table.p1_len[entry]
+    inb = (kg >= 0) & (kg + l1 <= record_len)  # engine.py:487
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap, cfg.p1_max), 1)
+    sidx = jnp.clip(kl[:, None] + ii, 0, TB - 1)
+    sb = tile_bytes[sidx].astype(jnp.int32)
+    pb = table.p1_bytes[entry].astype(jnp.int32)
+    m1 = table.match[sb * 256 + pb]
+    act1 = ii < l1[:, None]
+    mm1 = act1 & (m1 == 0)
+    prot1 = ii >= (l1[:, None] - X)  # '+' strand: last X bases (engine.py:609)
+    p1_ok = (
+        pair_valid
+        & inb
+        & ~jnp.any(mm1 & prot1, axis=1)
+        & (jnp.sum(mm1, axis=1) <= NMM)
+    )
+
+    # ---- compact anchors ---------------------------------------------------
+    (a_idx,) = jnp.nonzero(p1_ok, size=cfg.anch_cap, fill_value=0)
+    anch_total = jnp.sum(p1_ok.astype(jnp.int32))
+    alane = jax.lax.broadcasted_iota(jnp.int32, (cfg.anch_cap,), 0)
+    avalid = alane < anch_total
+
+    ak = kg[a_idx]
+    aentry = entry[a_idx]
+    al1 = l1[a_idx]
+    al2 = table.p2_len[aentry]
+    aorder = a_idx  # pair index == within-tile emission major key
+
+    # ---- 7. margin-window primer2 verify (engine.py:517-593) --------------
+    exp0 = table.pcr_size[aentry]
+    avail = record_len - (ak + al1)
+    room = avail >= al2  # engine.py:524-525
+    actual = record_len - ak  # engine.py:528
+    clamped = exp0 > actual
+    exp = jnp.where(clamped, actual, exp0)  # engine.py:531-535
+    hi = jnp.where(clamped, 0, jnp.minimum(M, record_len - ak - exp))
+    lo = jnp.clip(jnp.minimum(M, exp - al1 - al2), 0)  # engine.py:538-540
+
+    # rank r -> window offset d: r=0 -> 0; odd r -> -(r+1)//2; even r -> r//2
+    # (expected first, then -1, +1, -2, +2, … — engine.py:543-593)
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
+    dmag = (ranks + 1) // 2
+    d = jnp.where(ranks % 2 == 1, -dmag, dmag)  # int32[R]
+
+    p2 = ak[:, None] + exp[:, None] - al2[:, None] + d[None, :]
+    struct = p2 + al2[:, None] <= record_len
+    # k + len_p1 <= p2 is checked for d <= 0 only (engine.py:546, 568; the
+    # hi loop at engine.py:581-583 omits it)
+    struct &= jnp.where(d[None, :] <= 0, p2 >= ak[:, None] + al1[:, None], True)
+    rmask = jnp.where(
+        d[None, :] == 0,
+        True,
+        jnp.where(d[None, :] < 0, dmag[None, :] <= lo[:, None], dmag[None, :] <= hi[:, None]),
+    )
+
+    # gather the window region once per anchor, then compare all R shifts
+    span = 2 * M + cfg.p2_max
+    wbase_l = (ak + exp - al2 - M) - tile_start + LEAD
+    jjj = jax.lax.broadcasted_iota(jnp.int32, (cfg.anch_cap, span), 1)
+    widx = jnp.clip(wbase_l[:, None] + jjj, 0, TB - 1)
+    wb = tile_bytes[widx].astype(jnp.int32)  # [ANCH, span]
+
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (R, cfg.p2_max), 1)
+    off = M + d[:, None] + i2  # static-range offsets in [0, span)
+    sb2 = wb[:, off]  # [ANCH, R, P2MAX] gather with statically-known indices
+    pb2 = table.p2_bytes[aentry].astype(jnp.int32)  # [ANCH, P2MAX]
+    m2 = table.match[sb2 * 256 + pb2[:, None, :]]
+    act2 = i2[None, :, :] < al2[:, None, None]
+    mm2 = act2 & (m2 == 0)
+    prot2 = i2[None, :, :] < X  # '-' strand: first X bases (engine.py:610-611)
+    p2_ok = ~jnp.any(mm2 & prot2, axis=2) & (jnp.sum(mm2, axis=2) <= NMM)
+
+    hitmask = avalid[:, None] & room[:, None] & rmask & struct & p2_ok
+
+    # ---- hit emission ------------------------------------------------------
+    flat = hitmask.reshape(-1)  # anchor-major, rank-minor == emission order
+    (hidx,) = jnp.nonzero(flat, size=cfg.hit_cap, fill_value=0)
+    hit_total = jnp.sum(flat.astype(jnp.int32))
+    a_of = hidx // R
+    r_of = hidx % R
+    hp2 = p2[a_of, r_of]
+    return ScanOut(
+        c_total=c_total,
+        pair_total=pair_total,
+        anch_total=anch_total,
+        hit_total=hit_total,
+        pos1=ak[a_of],
+        pos2=hp2 + al2[a_of] - 1,
+        entry=aentry[a_of],
+        pair_order=aorder[a_of],
+        rank=r_of,
+    )
+
+
+@lru_cache(maxsize=64)
+def get_scan_fn(cfg: ScanConfig):
+    """One compiled tile-scan function per static config."""
+
+    def f(table, tile_bytes, tile_start, n_scan, record_len):
+        return _scan_tile(cfg, table, tile_bytes, tile_start, n_scan, record_len)
+
+    return jax.jit(f)
+
+
+def default_config(
+    wordsize: int,
+    margin: int,
+    mismatches: int,
+    three_prime_match: int,
+    lead: int,
+    max_pcr_size: int,
+    p1_max: int,
+    p2_max: int,
+    bloom_bits: int,
+    tile_len: int = 1 << 19,
+) -> ScanConfig:
+    """Capacity heuristics; tiles that overflow are retried escalated."""
+    tail = max_pcr_size + margin
+    return ScanConfig(
+        wordsize=wordsize,
+        margin=margin,
+        mismatches=mismatches,
+        three_prime_match=three_prime_match,
+        tile_len=tile_len,
+        lead=lead,
+        tail=tail,
+        p1_max=p1_max,
+        p2_max=p2_max,
+        bloom_bits=bloom_bits,
+        cpos_cap=max(4096, tile_len // 16),
+        cand_cap=max(8192, tile_len // 8),
+        anch_cap=1024,
+        hit_cap=1024,
+    )

@@ -1,0 +1,151 @@
+"""STS table compiler: searchable entries -> replicated device arrays.
+
+The reference keeps a Python dict ``hash -> [STSRecord]`` (engine.py:324-329)
+that is pickled into every worker process. The TPU-native layout is a CSR
+over W-mer hashes, in struct-of-arrays form, replicated in every chip's HBM:
+
+* ``bloom``   — exact bucket-occupancy bitmask over the (possibly truncated)
+                top ``bloom_bits`` bits of the hash. This is the ONLY table
+                the O(sequence) scan stage touches: 512 KB for W=11, so it
+                stays cache/VMEM resident instead of a 16+ MB counts table.
+                For 2W > bloom_bits it is a prefix filter whose false
+                positives are removed by the exact stage below.
+* ``uhash``   — sorted unique hashes (uint32), ``ustart`` CSR offsets; the
+                compacted (rare) candidate positions do a searchsorted here.
+* entry SoA   — hash_offset / p1_len / p2_len / pcr_size / padded primer
+                bytes, ordered by (hash, insertion order) so that in-bucket
+                slot order equals the reference's per-bucket emission order
+                (engine.py:484, 324-329).
+
+Host keeps ``entry_to_record`` to map device hits back to ``STSRecord``s for
+output formatting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.sts import STSLoadResult
+from .encoding import SCODE, match_matrix
+
+MAX_BLOOM_BITS = 24  # 2^24 bits = 2 MB; exact for W <= 12
+
+
+class DeviceTable(NamedTuple):
+    """Pytree of device-resident arrays (replicated per chip)."""
+
+    scode: jnp.ndarray  # int32[256]
+    match: jnp.ndarray  # uint8[65536]   (256x256 flattened, [seq*256+primer])
+    bloom: jnp.ndarray  # uint32[2^bloom_bits / 32]
+    uhash: jnp.ndarray  # uint32[U]      sorted unique hashes
+    ustart: jnp.ndarray  # int32[U+1]    CSR offsets into entry arrays
+    hash_offset: jnp.ndarray  # int32[E]
+    p1_len: jnp.ndarray  # int32[E]
+    p2_len: jnp.ndarray  # int32[E]
+    pcr_size: jnp.ndarray  # int32[E]
+    p1_bytes: jnp.ndarray  # uint8[E, P1MAX]
+    p2_bytes: jnp.ndarray  # uint8[E, P2MAX]
+
+
+@dataclass
+class TableMeta:
+    """Host-side metadata accompanying a DeviceTable."""
+
+    wordsize: int
+    n_entries: int
+    n_unique: int
+    bloom_bits: int
+    p1_max: int
+    p2_max: int
+    lead: int  # max hash_offset over entries (tile left halo)
+    max_pcr_size: int
+    entry_to_record: np.ndarray  # int32[E]: device entry idx -> STSRecord idx
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def compile_table(
+    res: STSLoadResult, wordsize: int, iupac_mode: bool
+) -> tuple[DeviceTable, TableMeta]:
+    """Compile parsed STS entries into device arrays.
+
+    Entries are stably sorted by hash so each bucket's slots keep file
+    insertion order — required for emission-order equality with the
+    reference's per-bucket candidate loop (engine.py:484).
+    """
+    E = len(res.records)
+    if E == 0:
+        # Degenerate but well-formed table; engine short-circuits anyway.
+        hashes = np.zeros(0, dtype=np.int64)
+        order = np.zeros(0, dtype=np.int64)
+    else:
+        hashes = res.hashes
+        order = np.argsort(hashes, kind="stable")
+
+    sorted_hashes = hashes[order]
+    uhash, ustart_counts = np.unique(sorted_hashes, return_counts=True)
+    ustart = np.zeros(len(uhash) + 1, dtype=np.int32)
+    np.cumsum(ustart_counts, out=ustart[1:])
+
+    two_w = 2 * wordsize
+    bloom_bits = min(two_w, MAX_BLOOM_BITS)
+    shift = two_w - bloom_bits
+    bloom = np.zeros((1 << bloom_bits) // 32, dtype=np.uint32)
+    keys = (uhash >> shift).astype(np.uint64)
+    np.bitwise_or.at(bloom, (keys >> 5).astype(np.int64), np.uint32(1) << (keys & 31).astype(np.uint32))
+
+    p1_max = max(16, _round_up(int(res.p1_lens.max()) if E else 16, 8))
+    p2_max = max(16, _round_up(int(res.p2_lens.max()) if E else 16, 8))
+
+    p1_bytes = np.zeros((max(E, 1), p1_max), dtype=np.uint8)
+    p2_bytes = np.zeros((max(E, 1), p2_max), dtype=np.uint8)
+    for dst, src in enumerate(order):
+        p1 = res.p1_list[src]
+        p2 = res.p2_list[src]
+        p1_bytes[dst, : len(p1)] = p1
+        p2_bytes[dst, : len(p2)] = p2
+
+    def col(a, dtype=np.int32, pad=0):
+        a = a[order].astype(dtype) if E else np.zeros(0, dtype=dtype)
+        if len(a) == 0:
+            a = np.full(1, pad, dtype=dtype)
+        return a
+
+    if len(uhash) == 0:
+        uhash_dev = np.full(1, np.uint32(0xFFFFFFFF), dtype=np.uint32)
+        ustart_dev = np.zeros(2, dtype=np.int32)
+    else:
+        uhash_dev = uhash.astype(np.uint32)
+        ustart_dev = ustart
+
+    table = DeviceTable(
+        scode=jnp.asarray(SCODE),
+        match=jnp.asarray(match_matrix(iupac_mode).reshape(-1)),
+        bloom=jnp.asarray(bloom),
+        uhash=jnp.asarray(uhash_dev),
+        ustart=jnp.asarray(ustart_dev),
+        hash_offset=jnp.asarray(col(res.hash_offsets)),
+        p1_len=jnp.asarray(col(res.p1_lens)),
+        p2_len=jnp.asarray(col(res.p2_lens)),
+        pcr_size=jnp.asarray(col(res.pcr_sizes, pad=1)),
+        p1_bytes=jnp.asarray(p1_bytes),
+        p2_bytes=jnp.asarray(p2_bytes),
+    )
+    meta = TableMeta(
+        wordsize=wordsize,
+        n_entries=E,
+        n_unique=len(uhash),
+        bloom_bits=bloom_bits,
+        p1_max=p1_max,
+        p2_max=p2_max,
+        lead=int(res.hash_offsets.max()) if E else 0,
+        max_pcr_size=res.max_pcr_size,
+        entry_to_record=order.astype(np.int32),
+    )
+    return table, meta

@@ -1,0 +1,172 @@
+"""Differential fuzzer: merpcr_tpu vs the reference merpcr (run as oracle).
+
+Generates random STS sets + genomes (with planted amplicons so hits are
+common), runs both engines in-process, and compares stdout byte-for-byte.
+
+Usage: JAX_PLATFORMS=cpu python tools/difffuzz.py [n_cases] [seed]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import random
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/reference/src")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import merpcr as ref_pkg  # noqa: E402
+import merpcr_tpu as tpu_pkg  # noqa: E402
+
+BASES = "ACGT"
+AMBIGS = "NRYKMSWBDHV"
+
+
+def rand_seq(rng, n, amb_rate=0.0, lower_rate=0.0):
+    out = []
+    for _ in range(n):
+        c = rng.choice(AMBIGS) if rng.random() < amb_rate else rng.choice(BASES)
+        if rng.random() < lower_rate:
+            c = c.lower()
+        out.append(c)
+    return "".join(out)
+
+
+def revcomp(s):
+    m = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N", "R": "Y", "Y": "R",
+         "K": "M", "M": "K", "S": "S", "W": "W", "B": "V", "V": "B", "D": "H",
+         "H": "D"}
+    return "".join(m.get(c.upper(), "N") for c in reversed(s))
+
+
+def mutate(rng, s, n_mut):
+    s = list(s)
+    for _ in range(n_mut):
+        i = rng.randrange(len(s))
+        s[i] = rng.choice(BASES)
+    return "".join(s)
+
+
+def gen_case(rng, case_idx):
+    wordsize = rng.choice([5, 7, 11, 11, 11, 13])
+    margin = rng.choice([0, 5, 50, 50, 137])
+    mismatches = rng.choice([0, 0, 1, 2])
+    three_prime = rng.choice([0, 1, 1, 3])
+    iupac = rng.choice([0, 0, 0, 1])
+    default_z = rng.choice([240, 100])
+
+    n_sts = rng.randrange(1, 12)
+    sts_lines = []
+    primers = []
+    for i in range(n_sts):
+        lp1 = rng.randrange(max(wordsize, 10), 30)
+        lp2 = rng.randrange(max(wordsize, 10), 30)
+        p1 = rand_seq(rng, lp1, amb_rate=0.05 if iupac else 0.02)
+        p2 = rand_seq(rng, lp2, amb_rate=0.05 if iupac else 0.02)
+        size_kind = rng.random()
+        size = rng.randrange(lp1 + lp2, 400)
+        if size_kind < 0.15:
+            fld = f"{size - 10}-{size + 10}"
+        elif size_kind < 0.25:
+            fld = rng.choice(["", "0", "xyz", "100-", "-100", "50-60-70"])
+        else:
+            fld = str(size)
+        alias = rng.choice(["", f"alias{i}", "Chr.17, 63.7 cM"])
+        line = f"STS{case_idx}_{i}\t{p1}\t{p2}\t{fld}"
+        if alias or rng.random() < 0.5:
+            line += f"\t{alias}"
+        sts_lines.append(line)
+        primers.append((p1, p2, size))
+
+    # genome with planted amplicons in both the reference's orientations:
+    # '+' = p1 ... p2 as written; '-' = p2 ... revcomp(p1)  (SURVEY.md §2.1)
+    glen = rng.randrange(2000, 20000)
+    g = list(rand_seq(rng, glen, amb_rate=0.01, lower_rate=0.1))
+    for p1, p2, size in primers:
+        for _ in range(rng.randrange(0, 4)):
+            direct = rng.random() < 0.5
+            prod = min(size + rng.randrange(-margin - 5, margin + 6),
+                       glen - 1)
+            prod = max(prod, len(p1) + len(p2))
+            pos = rng.randrange(0, max(1, glen - prod))
+            a = mutate(rng, p1, rng.randrange(0, mismatches + 2))
+            b = mutate(rng, p2, rng.randrange(0, mismatches + 2))
+            if direct:
+                g[pos : pos + len(a)] = a
+                g[pos + prod - len(b) : pos + prod] = b
+            else:
+                g[pos : pos + len(b)] = b
+                rc = revcomp(a)
+                g[pos + prod - len(rc) : pos + prod] = rc
+    genome = "".join(g)
+
+    n_rec = rng.randrange(1, 3)
+    fasta_lines = []
+    per = max(1, len(genome) // n_rec)
+    for r in range(n_rec):
+        fasta_lines.append(f">rec{case_idx}_{r} some description")
+        chunk = genome[r * per : (r + 1) * per] if r < n_rec - 1 else genome[(n_rec - 1) * per :]
+        for i in range(0, len(chunk), 70):
+            fasta_lines.append(chunk[i : i + 70])
+
+    params = dict(
+        wordsize=wordsize, margin=margin, mismatches=mismatches,
+        three_prime_match=three_prime, iupac_mode=iupac,
+        default_pcr_size=default_z, threads=1,
+    )
+    return "\n".join(sts_lines) + "\n", "\n".join(fasta_lines) + "\n", params
+
+
+def run_engine(pkg, sts_path, fa_path, params):
+    eng = pkg.MerPCR(**params)
+    if not eng.load_sts_file(sts_path):
+        return None
+    recs = eng.load_fasta_file(fa_path)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng.search(recs, None)
+    return buf.getvalue()
+
+
+def main():
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    rng = random.Random(seed)
+    fails = 0
+    for case in range(n_cases):
+        sts, fa, params = gen_case(rng, case)
+        with tempfile.TemporaryDirectory() as td:
+            sp = os.path.join(td, "t.sts")
+            fp = os.path.join(td, "t.fa")
+            open(sp, "w").write(sts)
+            open(fp, "w").write(fa)
+            ref_out = run_engine(ref_pkg, sp, fp, params)
+            tpu_out = run_engine(tpu_pkg, sp, fp, params)
+            if ref_out != tpu_out:
+                fails += 1
+                print(f"=== MISMATCH case {case} params={params}")
+                ref_lines = (ref_out or "").splitlines()
+                tpu_lines = (tpu_out or "").splitlines()
+                print(f"ref {len(ref_lines)} lines, tpu {len(tpu_lines)} lines")
+                for a, b in zip(ref_lines, tpu_lines):
+                    if a != b:
+                        print(f"  ref: {a}\n  tpu: {b}")
+                for extra in ref_lines[len(tpu_lines):]:
+                    print(f"  ref only: {extra}")
+                for extra in tpu_lines[len(ref_lines):]:
+                    print(f"  tpu only: {extra}")
+                os.makedirs("/tmp/fuzzfail", exist_ok=True)
+                open(f"/tmp/fuzzfail/case{case}.sts", "w").write(sts)
+                open(f"/tmp/fuzzfail/case{case}.fa", "w").write(fa)
+            else:
+                nl = len((ref_out or "").splitlines())
+                print(f"case {case}: OK ({nl} hits)")
+    print(f"\n{n_cases - fails}/{n_cases} cases identical")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
