@@ -1,0 +1,97 @@
+"""Benchmark: Mbp scanned/sec/chip on synthetic genome x STS workload.
+
+Matches the reference baseline measurement (BASELINE.md: 10 Mbp random
+genome x 1000 random STS, W=11 N=0 M=50 T=1 -> ~3.2 Mbp/s/core in pure
+Python). Prints ONE JSON line with the north-star metric.
+
+Usage: python bench.py [--mbp 10] [--nsts 1000] [--repeat 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import random
+import sys
+import tempfile
+import time
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_MBP_PER_S = 3.2  # BASELINE.md measured: reference CPU, T=1
+
+
+def gen_data(tmpdir: str, n_mbp: float, n_sts: int, seed: int = 42):
+    rng = random.Random(seed)
+    n = int(n_mbp * 1e6)
+    bases = "ACGT"
+    genome = "".join(rng.choices(bases, k=n))
+    fa_path = os.path.join(tmpdir, "bench.fa")
+    with open(fa_path, "w") as fh:
+        fh.write(">bench_seq synthetic\n")
+        for i in range(0, n, 80):
+            fh.write(genome[i : i + 80] + "\n")
+
+    sts_path = os.path.join(tmpdir, "bench.sts")
+    with open(sts_path, "w") as fh:
+        for i in range(n_sts):
+            p1 = "".join(rng.choices(bases, k=rng.randrange(18, 26)))
+            p2 = "".join(rng.choices(bases, k=rng.randrange(18, 26)))
+            size = rng.randrange(100, 400)
+            fh.write(f"BENCH{i}\t{p1}\t{p2}\t{size}\n")
+    return sts_path, fa_path, n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mbp", type=float, default=10.0)
+    ap.add_argument("--nsts", type=int, default=1000)
+    ap.add_argument("--repeat", type=int, default=3)
+    args = ap.parse_args()
+
+    import merpcr_tpu
+
+    with tempfile.TemporaryDirectory() as td:
+        sts_path, fa_path, n = gen_data(td, args.mbp, args.nsts)
+
+        eng = merpcr_tpu.MerPCR(wordsize=11, margin=50, mismatches=0)
+        assert eng.load_sts_file(sts_path)
+        records = eng.load_fasta_file(fa_path)
+
+        # Warmup (compile + first run)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            eng.search(records, None)
+
+        times = []
+        for _ in range(args.repeat):
+            buf = io.StringIO()
+            t0 = time.perf_counter()
+            with redirect_stdout(buf):
+                hits = eng.search(records, None)
+            times.append(time.perf_counter() - t0)
+
+        best = min(times)
+        mbp_per_s = (n / 1e6) / best
+        result = {
+            "metric": "Mbp_scanned_per_sec_per_chip",
+            "value": round(mbp_per_s, 2),
+            "unit": "Mbp/s/chip",
+            "vs_baseline": round(mbp_per_s / REF_MBP_PER_S, 2),
+            "detail": {
+                "genome_mbp": args.mbp,
+                "n_sts": args.nsts,
+                "best_s": round(best, 4),
+                "all_s": [round(t, 4) for t in times],
+                "hits": hits,
+                "backend": __import__("jax").default_backend(),
+            },
+        }
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

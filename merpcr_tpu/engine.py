@@ -26,6 +26,7 @@ from .io.sts import STSLoader
 from .models import FASTARecord
 from .ops.scan import ScanConfig, default_config, get_scan_fn
 from .ops.table import compile_table
+from .utils.cache import enable_compilation_cache
 
 # Constants (reference engine.py:17-39)
 AMBIG = 100
@@ -81,12 +82,17 @@ class MerPCR:
         # Accepted-but-unused in the reference too (SURVEY.md §2.1, cli.py:202-208)
         self.max_sts_line_length = max_sts_line_length
 
+        enable_compilation_cache()
+
         self.sts_records = []
         self.max_pcr_size = 0
         self.total_hits = 0
 
         self._table = None  # DeviceTable
         self._meta = None  # TableMeta
+        # Test hook: force a specific tile length (exercises multi-tile
+        # paths on small inputs). None -> TILE_LEN_BUCKETS heuristic.
+        self._tile_len_override: Optional[int] = None
 
         self._validate_parameters()
 
@@ -140,6 +146,7 @@ class MerPCR:
             p2_max=m.p2_max,
             bloom_bits=m.bloom_bits,
             tile_len=tile_len,
+            n_entries=m.n_entries,
         )
 
     @staticmethod
@@ -149,59 +156,114 @@ class MerPCR:
                 return b
         return TILE_LEN_BUCKETS[-1]
 
-    def _scan_record(self, seq: np.ndarray) -> list[tuple]:
-        """Run the device pipeline over one record; return raw hit tuples
-        (pos1, pos2, entry, tile_idx, pair_order, rank), already in global
-        0-based coordinates."""
+    @staticmethod
+    def _tile_bucket(n_tiles: int) -> int:
+        b = 1
+        while b < n_tiles:
+            b *= 2
+        return b
+
+    def _scan_record(self, seq: np.ndarray) -> np.ndarray:
+        """Run the device pipeline over one record.
+
+        Returns an int64 array of shape (n_hits, 6) with columns
+        (pos1, pos2, entry, tile_idx, pair_order, rank), global 0-based.
+
+        All tiles of a record run in ONE device call (lax.map); the rare
+        tile that overflows a fixed buffer capacity is retried individually
+        with escalated capacities.
+        """
+        from .ops.scan import get_record_scan_fn
+
         n = len(seq)
         if n <= self.wordsize:  # reference engine.py:458-459 (note <=)
-            return []
+            return np.zeros((0, 6), dtype=np.int64)
         total_scan = n - self.wordsize + 1
-        cfg0 = self._base_config(self._pick_tile_len(total_scan))
+        tile_len = self._tile_len_override or self._pick_tile_len(total_scan)
+        cfg0 = self._base_config(tile_len)
+        L = cfg0.tile_len
+        n_tiles = -(-total_scan // L)
+        bucket = self._tile_bucket(n_tiles)
 
-        hits: list[tuple] = []
-        tile_idx = 0
-        tile_start = 0
-        while tile_start < total_scan:
-            cfg = cfg0
-            for attempt in range(MAX_ESCALATIONS):
-                out = self._run_tile(cfg, seq, n, tile_start)
-                c, p, a, ht = (
-                    int(out.c_total),
-                    int(out.pair_total),
-                    int(out.anch_total),
-                    int(out.hit_total),
-                )
-                if (
-                    c <= cfg.cpos_cap
-                    and p <= cfg.cand_cap
-                    and a <= cfg.anch_cap
-                    and ht <= cfg.hit_cap
-                ):
-                    break
-                logger.debug(
-                    "tile %d overflow (cpos %d/%d cand %d/%d anch %d/%d hit %d/%d); escalating",
-                    tile_idx, c, cfg.cpos_cap, p, cfg.cand_cap, a, cfg.anch_cap,
-                    ht, cfg.hit_cap,
-                )
-                cfg = cfg.escalate()
+        padded = np.zeros(cfg0.lead + bucket * L + cfg0.tail, dtype=np.uint8)
+        padded[cfg0.lead : cfg0.lead + n] = seq
+        fn = get_record_scan_fn(cfg0, bucket)
+        out = fn(self._table, padded, np.int32(total_scan), np.int32(n))
+
+        c_tot = np.asarray(out.c_total)
+        p_tot = np.asarray(out.pair_total)
+        a_tot = np.asarray(out.anch_total)
+        h_tot = np.asarray(out.hit_total)
+        overflow = (
+            (c_tot > cfg0.cpos_cap)
+            | (p_tot > cfg0.cand_cap)
+            | (a_tot > cfg0.anch_cap)
+            | (h_tot > cfg0.hit_cap)
+        )
+
+        cols = {
+            "pos1": np.asarray(out.pos1),
+            "pos2": np.asarray(out.pos2),
+            "entry": np.asarray(out.entry),
+            "pair_order": np.asarray(out.pair_order),
+            "rank": np.asarray(out.rank),
+        }
+
+        chunks = []
+        for t in range(n_tiles):
+            if not overflow[t]:
+                ht = int(h_tot[t])
+                if not ht:
+                    continue
+                rows = np.empty((ht, 6), dtype=np.int64)
+                rows[:, 0] = cols["pos1"][t, :ht]
+                rows[:, 1] = cols["pos2"][t, :ht]
+                rows[:, 2] = cols["entry"][t, :ht]
+                rows[:, 3] = t
+                rows[:, 4] = cols["pair_order"][t, :ht]
+                rows[:, 5] = cols["rank"][t, :ht]
+                chunks.append(rows)
             else:
-                raise RuntimeError("tile capacity escalation failed to converge")
+                chunks.append(self._rescan_tile(cfg0, seq, n, t))
+        if not chunks:
+            return np.zeros((0, 6), dtype=np.int64)
+        return np.concatenate(chunks, axis=0)
 
-            if ht:
-                pos1 = np.asarray(out.pos1[:ht])
-                pos2 = np.asarray(out.pos2[:ht])
-                entry = np.asarray(out.entry[:ht])
-                order = np.asarray(out.pair_order[:ht])
-                rank = np.asarray(out.rank[:ht])
-                for q in range(ht):
-                    hits.append(
-                        (int(pos1[q]), int(pos2[q]), int(entry[q]), tile_idx,
-                         int(order[q]), int(rank[q]))
-                    )
-            tile_start += cfg0.tile_len
-            tile_idx += 1
-        return hits
+    def _rescan_tile(
+        self, cfg0: ScanConfig, seq: np.ndarray, n: int, tile_idx: int
+    ) -> np.ndarray:
+        """Retry one overflowing tile with escalated capacities."""
+        tile_start = tile_idx * cfg0.tile_len
+        cfg = cfg0.escalate()
+        for _ in range(MAX_ESCALATIONS):
+            out = self._run_tile(cfg, seq, n, tile_start)
+            c, p, a, ht = (
+                int(out.c_total),
+                int(out.pair_total),
+                int(out.anch_total),
+                int(out.hit_total),
+            )
+            if (
+                c <= cfg.cpos_cap
+                and p <= cfg.cand_cap
+                and a <= cfg.anch_cap
+                and ht <= cfg.hit_cap
+            ):
+                rows = np.empty((ht, 6), dtype=np.int64)
+                rows[:, 0] = np.asarray(out.pos1[:ht])
+                rows[:, 1] = np.asarray(out.pos2[:ht])
+                rows[:, 2] = np.asarray(out.entry[:ht])
+                rows[:, 3] = tile_idx
+                rows[:, 4] = np.asarray(out.pair_order[:ht])
+                rows[:, 5] = np.asarray(out.rank[:ht])
+                return rows
+            logger.debug(
+                "tile %d overflow (cpos %d/%d cand %d/%d anch %d/%d hit %d/%d); escalating",
+                tile_idx, c, cfg.cpos_cap, p, cfg.cand_cap, a, cfg.anch_cap,
+                ht, cfg.hit_cap,
+            )
+            cfg = cfg.escalate()
+        raise RuntimeError("tile capacity escalation failed to converge")
 
     def _run_tile(self, cfg: ScanConfig, seq: np.ndarray, n: int, tile_start: int):
         total_scan = n - self.wordsize + 1
@@ -243,12 +305,11 @@ class MerPCR:
 
                 t0 = time.time()
                 if self._meta is None or self._meta.n_entries == 0:
-                    raw = []
+                    arr = np.zeros((0, 6), dtype=np.int64)
                 else:
-                    raw = self._scan_record(seq)
+                    arr = self._scan_record(seq)
 
-                if raw:
-                    arr = np.asarray(raw, dtype=np.int64)
+                if len(arr):
                     # Reproduce T=1 ordering: stable sort by pos1 over hits
                     # emitted scan-order (tile, pair, rank) — engine.py:434
                     # + SURVEY.md §2.1 emission-order contract.

@@ -296,6 +296,34 @@ def get_scan_fn(cfg: ScanConfig):
     return jax.jit(f)
 
 
+@lru_cache(maxsize=64)
+def get_record_scan_fn(cfg: ScanConfig, n_tiles: int):
+    """Whole-record scan: ONE device call runs all tiles via lax.map over
+    device-side dynamic slices of the halo-padded record buffer.
+
+    This is the host/device split that matters on real hardware: shipping
+    one record buffer and fetching one stacked result amortizes transfer +
+    dispatch latency that would otherwise dominate (each tile's compute is
+    ~0.3 ms; a per-tile host round trip is ~200 ms through a tunnel).
+
+    padded layout: [lead zeros][record bytes][tail zeros / next bucket pad],
+    total length lead + n_tiles*tile_len + tail. Tile t's buffer is the
+    slice [t*L, t*L + tile_buf); padding tiles see n_scan <= 0 and emit
+    nothing.
+    """
+
+    def f(table, padded, total_scan, record_len):
+        def body(t):
+            start = t * cfg.tile_len
+            tb = jax.lax.dynamic_slice(padded, (start,), (cfg.tile_buf,))
+            n_scan = jnp.clip(total_scan - start, 0, cfg.tile_len)
+            return _scan_tile(cfg, table, tb, start, n_scan, record_len)
+
+        return jax.lax.map(body, jnp.arange(n_tiles, dtype=jnp.int32))
+
+    return jax.jit(f)
+
+
 def default_config(
     wordsize: int,
     margin: int,
@@ -307,9 +335,19 @@ def default_config(
     p2_max: int,
     bloom_bits: int,
     tile_len: int = 1 << 19,
+    n_entries: int = 0,
 ) -> ScanConfig:
-    """Capacity heuristics; tiles that overflow are retried escalated."""
+    """Capacity heuristics.
+
+    The verify stages cost ~O(cap), so capacities are sized from the
+    expected table hit density (E entries spread over 4^W buckets => about
+    L*E/4^W candidate positions per tile) with generous headroom; the rare
+    tile that still overflows is retried with escalated capacities, so
+    undersizing costs a retry, never correctness.
+    """
     tail = max_pcr_size + margin
+    expect = int(tile_len * max(n_entries, 1) / float(4**wordsize)) + 1
+    cpos_cap = min(max(1024, 8 * expect), tile_len)
     return ScanConfig(
         wordsize=wordsize,
         margin=margin,
@@ -321,8 +359,8 @@ def default_config(
         p1_max=p1_max,
         p2_max=p2_max,
         bloom_bits=bloom_bits,
-        cpos_cap=max(4096, tile_len // 16),
-        cand_cap=max(8192, tile_len // 8),
-        anch_cap=1024,
-        hit_cap=1024,
+        cpos_cap=cpos_cap,
+        cand_cap=2 * cpos_cap,
+        anch_cap=128,
+        hit_cap=256,
     )

@@ -83,7 +83,8 @@ def gen_case(rng, case_idx):
 
     # genome with planted amplicons in both the reference's orientations:
     # '+' = p1 ... p2 as written; '-' = p2 ... revcomp(p1)  (SURVEY.md §2.1)
-    glen = rng.randrange(2000, 20000)
+    glen = int(os.environ.get("FUZZ_GLEN", "0")) or rng.randrange(2000, 20000)
+    boundary = int(os.environ.get("FUZZ_BOUNDARY", "0"))  # plant near k*boundary
     g = list(rand_seq(rng, glen, amb_rate=0.01, lower_rate=0.1))
     for p1, p2, size in primers:
         for _ in range(rng.randrange(0, 4)):
@@ -91,7 +92,12 @@ def gen_case(rng, case_idx):
             prod = min(size + rng.randrange(-margin - 5, margin + 6),
                        glen - 1)
             prod = max(prod, len(p1) + len(p2))
-            pos = rng.randrange(0, max(1, glen - prod))
+            if boundary and rng.random() < 0.8:
+                b = boundary * rng.randrange(1, max(2, glen // boundary))
+                pos = min(max(0, b + rng.randrange(-prod - 3, 4)),
+                          max(0, glen - prod - 1))
+            else:
+                pos = rng.randrange(0, max(1, glen - prod))
             a = mutate(rng, p1, rng.randrange(0, mismatches + 2))
             b = mutate(rng, p2, rng.randrange(0, mismatches + 2))
             if direct:
@@ -122,6 +128,9 @@ def gen_case(rng, case_idx):
 
 def run_engine(pkg, sts_path, fa_path, params):
     eng = pkg.MerPCR(**params)
+    tile_override = os.environ.get("MERPCR_TPU_TILE_LEN")
+    if tile_override and pkg is tpu_pkg:
+        eng._tile_len_override = int(tile_override)
     if not eng.load_sts_file(sts_path):
         return None
     recs = eng.load_fasta_file(fa_path)
