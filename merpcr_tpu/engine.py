@@ -147,6 +147,7 @@ class MerPCR:
             bloom_bits=m.bloom_bits,
             tile_len=tile_len,
             n_entries=m.n_entries,
+            iupac=bool(self.iupac_mode),
         )
 
     @staticmethod

@@ -60,6 +60,7 @@ class ScanConfig:
     margin: int  # -M (reference engine.py:22, cli.py:137-143)
     mismatches: int  # -N
     three_prime_match: int  # -X
+    iupac: bool  # -I: verify via 256x256 LUT; else arithmetic case-fold
     tile_len: int  # scan positions per tile (L)
     lead: int  # left halo bytes  = max hash_offset over entries
     tail: int  # right halo bytes = max_pcr_size + margin
@@ -104,6 +105,13 @@ class ScanOut(NamedTuple):
     entry: jnp.ndarray  # int32[hit_cap] device entry index
     pair_order: jnp.ndarray  # int32[hit_cap] within-tile emission key (major)
     rank: jnp.ndarray  # int32[hit_cap] within-anchor emission key (minor)
+
+
+def _byte_fold(b: jnp.ndarray) -> jnp.ndarray:
+    """Uppercase-fold a byte vector arithmetically (ASCII letters only),
+    matching the reference's ``.upper()`` comparisons (engine.py:631)."""
+    is_lower = (b >= ord("a")) & (b <= ord("z"))
+    return jnp.where(is_lower, b - 32, b)
 
 
 def _encode_codes(tile_bytes: jnp.ndarray) -> jnp.ndarray:
@@ -163,8 +171,29 @@ def _scan_tile(
     flag = pvalid & hasbit
 
     # ---- 4. compact candidate positions + exact CSR lookup ----------------
-    (cpos,) = jnp.nonzero(flag, size=cfg.cpos_cap, fill_value=0)
+    # Hierarchical compaction: pack flags into 32-bit words (cheap VPU
+    # reduce), run nonzero over the 32x-smaller word array, then expand the
+    # (rare) non-empty words' bits. A word with any bit set implies >= 1
+    # candidate position, so w_total <= c_total and cpos_cap bounds both —
+    # no new overflow mode. Order (word asc, bit asc) == position asc,
+    # preserving the emission-order contract.
+    NW = L // 32
+    fb = flag.reshape(NW, 32).astype(jnp.uint32)
+    wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+    words = jnp.sum(fb << wbits, axis=1, dtype=jnp.uint32)
     c_total = jnp.sum(flag.astype(jnp.int32))
+    (widx,) = jnp.nonzero(words != 0, size=cfg.cpos_cap, fill_value=NW - 1)
+    wordsel = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (cfg.cpos_cap,), 0)
+        < jnp.sum((words != 0).astype(jnp.int32)),
+        words[widx],
+        0,
+    )
+    bit = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+    bflag = ((wordsel[:, None] >> bit) & 1) == 1
+    bpos = widx[:, None] * 32 + bit.astype(jnp.int32)
+    (pidx,) = jnp.nonzero(bflag.reshape(-1), size=cfg.cpos_cap, fill_value=0)
+    cpos = bpos.reshape(-1)[pidx]
     clane = jax.lax.broadcasted_iota(jnp.int32, (cfg.cpos_cap,), 0)
     cvalid = clane < c_total
 
@@ -197,9 +226,12 @@ def _scan_tile(
     sidx = jnp.clip(kl[:, None] + ii, 0, TB - 1)
     sb = tile_bytes[sidx].astype(jnp.int32)
     pb = table.p1_bytes[entry].astype(jnp.int32)
-    m1 = table.match[sb * 256 + pb]
+    if cfg.iupac:
+        m1 = table.match[sb * 256 + pb] != 0
+    else:  # non-IUPAC match is exactly case-insensitive equality
+        m1 = _byte_fold(sb) == _byte_fold(pb)
     act1 = ii < l1[:, None]
-    mm1 = act1 & (m1 == 0)
+    mm1 = act1 & ~m1
     prot1 = ii >= (l1[:, None] - X)  # '+' strand: last X bases (engine.py:609)
     p1_ok = (
         pair_valid
@@ -258,9 +290,12 @@ def _scan_tile(
     off = M + d[:, None] + i2  # static-range offsets in [0, span)
     sb2 = wb[:, off]  # [ANCH, R, P2MAX] gather with statically-known indices
     pb2 = table.p2_bytes[aentry].astype(jnp.int32)  # [ANCH, P2MAX]
-    m2 = table.match[sb2 * 256 + pb2[:, None, :]]
+    if cfg.iupac:
+        m2 = table.match[sb2 * 256 + pb2[:, None, :]] != 0
+    else:
+        m2 = _byte_fold(sb2) == _byte_fold(pb2)[:, None, :]
     act2 = i2[None, :, :] < al2[:, None, None]
-    mm2 = act2 & (m2 == 0)
+    mm2 = act2 & ~m2
     prot2 = i2[None, :, :] < X  # '-' strand: first X bases (engine.py:610-611)
     p2_ok = ~jnp.any(mm2 & prot2, axis=2) & (jnp.sum(mm2, axis=2) <= NMM)
 
@@ -336,6 +371,7 @@ def default_config(
     bloom_bits: int,
     tile_len: int = 1 << 19,
     n_entries: int = 0,
+    iupac: bool = False,
 ) -> ScanConfig:
     """Capacity heuristics.
 
@@ -353,6 +389,7 @@ def default_config(
         margin=margin,
         mismatches=mismatches,
         three_prime_match=three_prime_match,
+        iupac=iupac,
         tile_len=tile_len,
         lead=lead,
         tail=tail,
