@@ -9,6 +9,18 @@ Public API mirrors the reference's ``src/merpcr/__init__.py:7-14``:
 ``MerPCR``, ``STSRecord``, ``FASTARecord``, ``STSHit``.
 """
 
+import os as _os
+
+if _os.environ.get("MERPCR_TPU_PLATFORM"):
+    # Honor an explicit platform override (e.g. "cpu" for tests/subprocesses)
+    # before any backend initializes.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["MERPCR_TPU_PLATFORM"])
+    except Exception:
+        pass
+
 from .engine import MerPCR
 from .models import FASTARecord, STSHit, STSRecord
 

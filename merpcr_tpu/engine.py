@@ -93,8 +93,18 @@ class MerPCR:
         # Test hook: force a specific tile length (exercises multi-tile
         # paths on small inputs). None -> TILE_LEN_BUCKETS heuristic.
         self._tile_len_override: Optional[int] = None
+        # Optional jax.sharding.Mesh: shard records across devices
+        # (set via use_mesh(); output is identical to single-device).
+        self.mesh = None
 
         self._validate_parameters()
+
+    def use_mesh(self, mesh) -> "MerPCR":
+        """Shard the scan across a 1-D device mesh (tiles partitioned by
+        scan position, table replicated, hits all-gathered). Output is
+        byte-identical to the single-device path."""
+        self.mesh = mesh
+        return self
 
     def _validate_parameters(self):
         """Bounds validation (reference engine.py:80-97)."""
@@ -186,10 +196,22 @@ class MerPCR:
         n_tiles = -(-total_scan // L)
         bucket = self._tile_bucket(n_tiles)
 
-        padded = np.zeros(cfg0.lead + bucket * L + cfg0.tail, dtype=np.uint8)
-        padded[cfg0.lead : cfg0.lead + n] = seq
-        fn = get_record_scan_fn(cfg0, bucket)
-        out = fn(self._table, padded, np.int32(total_scan), np.int32(n))
+        if self.mesh is not None:
+            from .parallel.sharded import sharded_scan_record
+
+            out, n_shards, tps = sharded_scan_record(
+                cfg0, self._table, seq, self.wordsize, self.mesh
+            )
+            # flatten (shards, tiles, ...) -> (shards*tiles, ...); global
+            # tile index = shard*tps + t keeps single-device ordering
+            out = type(out)(*(np.asarray(x).reshape((n_shards * tps,) + x.shape[2:])
+                              for x in out))
+            n_tiles = min(n_tiles, n_shards * tps)
+        else:
+            padded = np.zeros(cfg0.lead + bucket * L + cfg0.tail, dtype=np.uint8)
+            padded[cfg0.lead : cfg0.lead + n] = seq
+            fn = get_record_scan_fn(cfg0, bucket)
+            out = fn(self._table, padded, np.int32(total_scan), np.int32(n))
 
         c_tot = np.asarray(out.c_total)
         p_tot = np.asarray(out.pair_total)

@@ -1,0 +1,106 @@
+"""Mesh-sharded genome scan (the TPU-native replacement for the reference's
+ProcessPoolExecutor halo chunking, engine.py:381-431).
+
+Strategy (SURVEY.md §2.2/§2.3): scan positions of a record are partitioned
+into contiguous spans, one span per device along a 1-D 'shard' mesh axis.
+Each device receives its halo-padded byte buffer (halos are materialized
+read-only overlaps — communication-free, like the reference's chunking) and
+the W-mer table replicated; per-shard hit buffers are merged with a single
+``lax.all_gather`` over the mesh (the only collective this workload needs).
+
+Because scan positions are partitioned (not overlapped), no dedup pass is
+required and output ordering is reproduced exactly by sorting on global
+(pos1, shard, tile, pair, rank) keys — matching the reference's T=1 ground
+truth rather than its buggy T>1 overlap filter (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.scan import ScanConfig, _scan_tile
+from ..ops.table import DeviceTable
+
+
+def make_mesh(devices=None, axis: str = "shard") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+@lru_cache(maxsize=32)
+def _get_sharded_fn(cfg: ScanConfig, n_shards: int, tiles_per_shard: int,
+                    axis: str = "shard"):
+    """Compiled shard_map program: every shard scans its tiles_per_shard
+    tiles, then all shards all-gather the stacked hit buffers."""
+
+    def per_shard(table, padded, tile_start0, total_scan, record_len):
+        padded = padded[0]  # (buf,)
+        start0 = tile_start0[0]
+
+        def body(t):
+            local = t * cfg.tile_len
+            tb = jax.lax.dynamic_slice(padded, (local,), (cfg.tile_buf,))
+            gstart = start0 + local
+            n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
+            return _scan_tile(cfg, table, tb, gstart, n_scan, record_len)
+
+        out = jax.lax.map(body, jnp.arange(tiles_per_shard, dtype=jnp.int32))
+        # (tiles, ...) -> gathered (n_shards, tiles, ...), replicated
+        return jax.tree.map(lambda x: jax.lax.all_gather(x, axis), out)
+
+    def run(mesh, table, padded_shards, tile_start0, total_scan, record_len):
+        fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(table, padded_shards, tile_start0, total_scan, record_len)
+
+    return jax.jit(run, static_argnums=0)
+
+
+def sharded_scan_record(
+    cfg: ScanConfig,
+    table: DeviceTable,
+    seq: np.ndarray,
+    wordsize: int,
+    mesh: Mesh,
+    axis: str = "shard",
+):
+    """Scan one record across a device mesh.
+
+    Returns (out, n_shards, tiles_per_shard) where out leaves are shaped
+    (n_shards, tiles_per_shard, ...) — global tile index = shard * tiles + t,
+    matching single-device tile ordering exactly.
+    """
+    n = len(seq)
+    total_scan = n - wordsize + 1
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    L = cfg.tile_len
+    n_tiles = -(-total_scan // L)
+    tiles_per_shard = -(-n_tiles // n_shards)
+    span = tiles_per_shard * L  # scan positions per shard
+
+    buf_len = cfg.lead + span + cfg.tail
+    padded_shards = np.zeros((n_shards, buf_len), dtype=np.uint8)
+    tile_start0 = np.zeros((n_shards,), dtype=np.int32)
+    for s in range(n_shards):
+        gstart = s * span  # first scan position owned by shard s
+        tile_start0[s] = gstart
+        src0 = gstart - cfg.lead
+        a = max(0, src0)
+        b = min(n, src0 + buf_len)
+        if b > a:
+            padded_shards[s, a - src0 : b - src0] = seq[a:b]
+
+    fn = _get_sharded_fn(cfg, n_shards, tiles_per_shard, axis)
+    out = fn(mesh, table, padded_shards, tile_start0,
+             np.int32(total_scan), np.int32(n))
+    return out, n_shards, tiles_per_shard

@@ -1,0 +1,95 @@
+"""Differential tests against the reference implementation run in-process as
+an oracle (the strongest correctness contract: byte-identical stdout on
+randomized corpora across the full flag matrix). The heavy fuzzer lives in
+tools/difffuzz.py; these are fixed-seed regression cases."""
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+import merpcr_tpu
+from .conftest import REFERENCE_ROOT, needs_oracle
+
+pytestmark = [pytest.mark.integration, needs_oracle]
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+
+def _run(pkg, sts, fa, params):
+    eng = pkg.MerPCR(**params)
+    if not eng.load_sts_file(sts):
+        return None
+    recs = eng.load_fasta_file(fa)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng.search(recs, None)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def oracle_pkg():
+    sys.path.insert(0, os.path.join(REFERENCE_ROOT, "src"))
+    import merpcr as ref
+
+    return ref
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_case_identical(seed, oracle_pkg, tmp_path):
+    import random
+
+    from difffuzz import gen_case
+
+    rng = random.Random(seed * 1000 + 17)
+    sts_text, fa_text, params = gen_case(rng, seed)
+    sts = tmp_path / "t.sts"
+    fa = tmp_path / "t.fa"
+    sts.write_text(sts_text)
+    fa.write_text(fa_text)
+    ref_out = _run(oracle_pkg, str(sts), str(fa), params)
+    tpu_out = _run(merpcr_tpu, str(sts), str(fa), params)
+    assert ref_out == tpu_out
+
+
+def test_multihit_margin_ordering(oracle_pkg, tmp_path):
+    """Several primer2 matches inside one margin window: every match is a
+    separate output line in expected-first-then-±i order (reference
+    engine.py:543-593)."""
+    p1 = "GGCTCAGAGTATTTGGGATG"
+    p2 = "CCCCCCCCCCC"  # 11bp — can match at many window offsets
+    sts = tmp_path / "t.sts"
+    sts.write_text(f"S1\t{p1}\t{p2}\t60\n")
+    genome = p1 + "C" * 80 + "ATATATATAT"
+    fa = tmp_path / "t.fa"
+    fa.write_text(f">g\n{genome}\n")
+    params = dict(margin=20)
+    ref_out = _run(oracle_pkg, str(sts), str(fa), params)
+    tpu_out = _run(merpcr_tpu, str(sts), str(fa), params)
+    assert ref_out == tpu_out
+    assert len(ref_out.splitlines()) > 5  # really exercises multi-hit
+
+
+def test_end_clamping(oracle_pkg, tmp_path):
+    """Amplicon truncated by record end exercises the exp_size clamp
+    (reference engine.py:527-541)."""
+    p1 = "GGCTCAGAGTATTTGGGATG"
+    p2 = "CTCTTGGAATCCTATCTCACTG"
+    sts = tmp_path / "t.sts"
+    sts.write_text(f"S1\t{p1}\t{p2}\t200\n")
+    # genome ends exactly at primer2's end (product 150 < expected 200)
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    mid = "".join(rng.choice(list("ACGT"), size=150 - len(p1) - len(p2)))
+    genome = p1 + mid + p2
+    fa = tmp_path / "t.fa"
+    fa.write_text(f">g\n{genome}\n")
+    for margin in (0, 50, 100):
+        params = dict(margin=margin)
+        assert _run(oracle_pkg, str(sts), str(fa), params) == _run(
+            merpcr_tpu, str(sts), str(fa), params
+        ), f"margin={margin}"
