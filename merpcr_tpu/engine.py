@@ -167,12 +167,11 @@ class MerPCR:
                 return b
         return TILE_LEN_BUCKETS[-1]
 
-    @staticmethod
-    def _tile_bucket(n_tiles: int) -> int:
-        b = 1
-        while b < n_tiles:
-            b *= 2
-        return b
+    # Tiles are dispatched in fixed-size groups: one compiled program
+    # regardless of record length, and group g+1's host->device transfer
+    # overlaps group g's compute (async dispatch). Padding tiles inside the
+    # last group short-circuit via lax.cond (~free).
+    TILE_GROUP = 8
 
     def _scan_record(self, seq: np.ndarray) -> np.ndarray:
         """Run the device pipeline over one record.
@@ -194,24 +193,41 @@ class MerPCR:
         cfg0 = self._base_config(tile_len)
         L = cfg0.tile_len
         n_tiles = -(-total_scan // L)
-        bucket = self._tile_bucket(n_tiles)
 
         if self.mesh is not None:
             from .parallel.sharded import sharded_scan_record
 
-            out, n_shards, tps = sharded_scan_record(
+            sout, n_shards, tps = sharded_scan_record(
                 cfg0, self._table, seq, self.wordsize, self.mesh
             )
             # flatten (shards, tiles, ...) -> (shards*tiles, ...); global
             # tile index = shard*tps + t keeps single-device ordering
-            out = type(out)(*(np.asarray(x).reshape((n_shards * tps,) + x.shape[2:])
-                              for x in out))
+            out = type(sout)(*(np.asarray(x).reshape((n_shards * tps,) + x.shape[2:])
+                               for x in sout))
             n_tiles = min(n_tiles, n_shards * tps)
         else:
-            padded = np.zeros(cfg0.lead + bucket * L + cfg0.tail, dtype=np.uint8)
+            G = self.TILE_GROUP
+            n_groups = -(-n_tiles // G)
+            padded = np.zeros(cfg0.lead + n_groups * G * L + cfg0.tail,
+                              dtype=np.uint8)
             padded[cfg0.lead : cfg0.lead + n] = seq
-            fn = get_record_scan_fn(cfg0, bucket)
-            out = fn(self._table, padded, np.int32(total_scan), np.int32(n))
+            fn = get_record_scan_fn(cfg0, G)
+            # dispatch all groups without blocking; jax pipelines the
+            # per-group H2D transfers with earlier groups' compute
+            pend = [
+                fn(
+                    self._table,
+                    padded[g * G * L : g * G * L + cfg0.lead + G * L + cfg0.tail],
+                    np.int32(g * G * L),
+                    np.int32(total_scan),
+                    np.int32(n),
+                )
+                for g in range(n_groups)
+            ]
+            import jax
+
+            host = jax.device_get(pend)  # one bulk D2H for all groups
+            out = type(pend[0])(*(np.concatenate(cols) for cols in zip(*host)))
 
         c_tot = np.asarray(out.c_total)
         p_tot = np.asarray(out.pair_total)

@@ -131,6 +131,12 @@ def _encode_codes(tile_bytes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(is_letter, code, AMBIG)
 
 
+def _empty_out(cfg: ScanConfig) -> ScanOut:
+    z = jnp.int32(0)
+    zh = jnp.zeros((cfg.hit_cap,), jnp.int32)
+    return ScanOut(z, z, z, z, zh, zh, zh, zh, zh)
+
+
 def _scan_tile(
     cfg: ScanConfig,
     table: DeviceTable,
@@ -138,6 +144,22 @@ def _scan_tile(
     tile_start: jnp.ndarray,  # int32 scalar: global scan pos of local index 0
     n_scan: jnp.ndarray,  # int32 scalar: valid scan positions (<= tile_len)
     record_len: jnp.ndarray,  # int32 scalar: global record length
+) -> ScanOut:
+    """Scan one tile; padding tiles (n_scan <= 0) short-circuit via cond."""
+    return jax.lax.cond(
+        n_scan > 0,
+        lambda: _scan_tile_impl(cfg, table, tile_bytes, tile_start, n_scan, record_len),
+        lambda: _empty_out(cfg),
+    )
+
+
+def _scan_tile_impl(
+    cfg: ScanConfig,
+    table: DeviceTable,
+    tile_bytes: jnp.ndarray,
+    tile_start: jnp.ndarray,
+    n_scan: jnp.ndarray,
+    record_len: jnp.ndarray,
 ) -> ScanOut:
     W = cfg.wordsize
     L = cfg.tile_len
@@ -347,12 +369,13 @@ def get_record_scan_fn(cfg: ScanConfig, n_tiles: int):
     nothing.
     """
 
-    def f(table, padded, total_scan, record_len):
+    def f(table, padded, start0, total_scan, record_len):
         def body(t):
-            start = t * cfg.tile_len
-            tb = jax.lax.dynamic_slice(padded, (start,), (cfg.tile_buf,))
-            n_scan = jnp.clip(total_scan - start, 0, cfg.tile_len)
-            return _scan_tile(cfg, table, tb, start, n_scan, record_len)
+            local = t * cfg.tile_len
+            tb = jax.lax.dynamic_slice(padded, (local,), (cfg.tile_buf,))
+            gstart = start0 + local
+            n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
+            return _scan_tile(cfg, table, tb, gstart, n_scan, record_len)
 
         return jax.lax.map(body, jnp.arange(n_tiles, dtype=jnp.int32))
 
@@ -383,7 +406,7 @@ def default_config(
     """
     tail = max_pcr_size + margin
     expect = int(tile_len * max(n_entries, 1) / float(4**wordsize)) + 1
-    cpos_cap = min(max(1024, 8 * expect), tile_len)
+    cpos_cap = min(max(512, 6 * expect), tile_len)
     return ScanConfig(
         wordsize=wordsize,
         margin=margin,
@@ -398,6 +421,6 @@ def default_config(
         bloom_bits=bloom_bits,
         cpos_cap=cpos_cap,
         cand_cap=2 * cpos_cap,
-        anch_cap=128,
-        hit_cap=256,
+        anch_cap=64,
+        hit_cap=128,
     )
