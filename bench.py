@@ -47,7 +47,8 @@ def gen_data(tmpdir: str, n_mbp: float, n_sts: int, seed: int = 42):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mbp", type=float, default=10.0)
+    # default mirrors BASELINE.json config #2 scale (human chr21 ~47 Mbp)
+    ap.add_argument("--mbp", type=float, default=47.0)
     ap.add_argument("--nsts", type=int, default=1000)
     ap.add_argument("--repeat", type=int, default=3)
     args = ap.parse_args()

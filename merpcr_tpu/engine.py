@@ -143,7 +143,7 @@ class MerPCR:
         return FASTALoader.load_file(filename)
 
     # ---------------------------------------------------------------- search
-    def _base_config(self, tile_len: int) -> ScanConfig:
+    def _base_config(self, tile_len: int, packed: bool = True) -> ScanConfig:
         m = self._meta
         return default_config(
             wordsize=self.wordsize,
@@ -158,7 +158,26 @@ class MerPCR:
             tile_len=tile_len,
             n_entries=m.n_entries,
             iupac=bool(self.iupac_mode),
+            packed=packed,
         )
+
+    @staticmethod
+    def _plane(
+        seq: np.ndarray,
+        packed_rec: Optional[np.ndarray],
+        pos_len: int,
+        lead: int,
+    ) -> np.ndarray:
+        """Host-side input plane: the cached nibble-packed record memcpy'd
+        into a zero-padded buffer (lead is even, so the record stays
+        byte-aligned in packed space), or raw bytes for the fallback path."""
+        if packed_rec is not None:
+            buf = np.zeros(pos_len // 2, dtype=np.uint8)
+            buf[lead // 2 : lead // 2 + len(packed_rec)] = packed_rec
+            return buf
+        buf = np.zeros(pos_len, dtype=np.uint8)
+        buf[lead : lead + len(seq)] = seq
+        return buf
 
     @staticmethod
     def _pick_tile_len(total_scan: int) -> int:
@@ -173,7 +192,9 @@ class MerPCR:
     # last group short-circuit via lax.cond (~free).
     TILE_GROUP = 8
 
-    def _scan_record(self, seq: np.ndarray) -> np.ndarray:
+    def _scan_record(
+        self, seq: np.ndarray, packed_rec: Optional[np.ndarray] = None
+    ) -> np.ndarray:
         """Run the device pipeline over one record.
 
         Returns an int64 array of shape (n_hits, 6) with columns
@@ -190,7 +211,11 @@ class MerPCR:
             return np.zeros((0, 6), dtype=np.int64)
         total_scan = n - self.wordsize + 1
         tile_len = self._tile_len_override or self._pick_tile_len(total_scan)
-        cfg0 = self._base_config(tile_len)
+        # packed (4-bit) plane whenever the sequence is within the 16-letter
+        # FASTA alphabet (always true for loader output); raw-byte fallback
+        # keeps exact reference semantics for arbitrary API-supplied strings
+        packed = packed_rec is not None
+        cfg0 = self._base_config(tile_len, packed=packed)
         L = cfg0.tile_len
         n_tiles = -(-total_scan // L)
 
@@ -208,16 +233,19 @@ class MerPCR:
         else:
             G = self.TILE_GROUP
             n_groups = -(-n_tiles // G)
-            padded = np.zeros(cfg0.lead + n_groups * G * L + cfg0.tail,
-                              dtype=np.uint8)
-            padded[cfg0.lead : cfg0.lead + n] = seq
+            plane = self._plane(
+                seq, packed_rec, cfg0.lead + n_groups * G * L + cfg0.tail,
+                cfg0.lead,
+            )
+            d = 2 if packed else 1  # positions per input byte
+            glen = (cfg0.lead + G * L + cfg0.tail) // d
             fn = get_record_scan_fn(cfg0, G)
             # dispatch all groups without blocking; jax pipelines the
             # per-group H2D transfers with earlier groups' compute
             pend = [
                 fn(
                     self._table,
-                    padded[g * G * L : g * G * L + cfg0.lead + G * L + cfg0.tail],
+                    plane[g * G * L // d : g * G * L // d + glen],
                     np.int32(g * G * L),
                     np.int32(total_scan),
                     np.int32(n),
@@ -305,14 +333,18 @@ class MerPCR:
         raise RuntimeError("tile capacity escalation failed to converge")
 
     def _run_tile(self, cfg: ScanConfig, seq: np.ndarray, n: int, tile_start: int):
+        from .ops.encoding import NIB_LUT, pack_nibbles
+
         total_scan = n - self.wordsize + 1
         n_scan = min(cfg.tile_len, total_scan - tile_start)
-        buf = np.zeros(cfg.tile_buf, dtype=np.uint8)
+        pos = np.zeros(cfg.tile_buf, dtype=np.uint8)
         src0 = tile_start - cfg.lead
         a = max(0, src0)
         b = min(n, src0 + cfg.tile_buf)
         if b > a:
-            buf[a - src0 : b - src0] = seq[a:b]
+            chunk = seq[a:b]
+            pos[a - src0 : b - src0] = NIB_LUT[chunk] if cfg.packed else chunk
+        buf = pack_nibbles(pos) if cfg.packed else pos
         fn = get_scan_fn(cfg)
         return fn(
             self._table,
@@ -346,7 +378,9 @@ class MerPCR:
                 if self._meta is None or self._meta.n_entries == 0:
                     arr = np.zeros((0, 6), dtype=np.int64)
                 else:
-                    arr = self._scan_record(seq)
+                    from .io.fasta import record_packed
+
+                    arr = self._scan_record(seq, record_packed(record))
 
                 if len(arr):
                     # Reproduce T=1 ordering: stable sort by pos1 over hits

@@ -88,3 +88,28 @@ def record_seq_bytes(record: FASTARecord) -> np.ndarray:
     return np.frombuffer(
         record.sequence.encode("latin-1", errors="replace"), dtype=np.uint8
     )
+
+
+def record_packed(record: FASTARecord):
+    """(packed_nibbles | None) for a record, cached on the instance.
+
+    Returns None when the sequence contains bytes outside the 16-letter
+    FASTA alphabet (engine then uses the exact byte pipeline). The packed
+    array holds the record's 4-bit codes two-per-byte starting at an even
+    position boundary (one trailing pad nibble for odd lengths).
+    """
+    from ..ops.encoding import NIB_LUT, pack_nibbles
+
+    seq = record_seq_bytes(record)
+    cached = getattr(record, "_packed_cache", None)
+    if cached is not None and cached[0] == len(seq):
+        return cached[1]
+    nib = NIB_LUT[seq]
+    if nib.size and nib.max() == 255:
+        packed = None
+    else:
+        if len(nib) % 2:
+            nib = np.concatenate([nib, np.zeros(1, dtype=np.uint8)])
+        packed = pack_nibbles(nib)
+    record._packed_cache = (len(seq), packed)
+    return packed

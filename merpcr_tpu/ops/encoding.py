@@ -117,6 +117,50 @@ def match_matrix(iupac_mode: bool) -> np.ndarray:
     return np.where(both_known, inter, eq).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Nibble (4-bit) genome plane. After the FASTA filter the sequence alphabet
+# is exactly 16 letters (case-folded), so each base fits in 4 bits — halving
+# host->device transfer and device reads. Codes 0-3 are A,C,G,T (== 2-bit
+# hash codes); 4+ are the ambiguity letters.
+# ---------------------------------------------------------------------------
+NIB_ALPHABET = "ACGTBDHKMNRSVWXY"
+NIB_LUT = np.full(256, 255, dtype=np.uint8)  # 255 = not representable
+for _i, _c in enumerate(NIB_ALPHABET):
+    NIB_LUT[ord(_c)] = NIB_LUT[ord(_c.lower())] = _i
+
+# Primer-side codes: 16 alphabet letters, 16='U', 17=anything else.
+# ('U' needs its own code: IUPAC-mode U matches T/Y/K/... while a primer
+# byte outside the genome alphabet can never match a filtered genome.)
+PRIMER_CODE_LUT = np.full(256, 17, dtype=np.uint8)
+for _i, _c in enumerate(NIB_ALPHABET):
+    PRIMER_CODE_LUT[ord(_c)] = PRIMER_CODE_LUT[ord(_c.lower())] = _i
+PRIMER_CODE_LUT[ord("U")] = PRIMER_CODE_LUT[ord("u")] = 16
+N_PRIMER_CODES = 32  # padded to a power of two for flat-index gathers
+
+
+def nib_match_matrix(iupac_mode: bool) -> np.ndarray:
+    """16 x N_PRIMER_CODES uint8 table with the same semantics as
+    ``match_matrix`` restricted to (genome alphabet) x (primer codes)."""
+    byte_m = match_matrix(iupac_mode)
+    out = np.zeros((16, N_PRIMER_CODES), dtype=np.uint8)
+    for s, sc in enumerate(NIB_ALPHABET):
+        for p in range(N_PRIMER_CODES):
+            if p < 16:
+                pc = NIB_ALPHABET[p]
+            elif p == 16:
+                pc = "U"
+            else:
+                pc = "\x01"  # never matches any genome letter
+            out[s, p] = byte_m[ord(sc), ord(pc)]
+    return out
+
+
+def pack_nibbles(nib: np.ndarray) -> np.ndarray:
+    """Pack a 4-bit code array (even length) two-per-byte, low nibble first."""
+    assert len(nib) % 2 == 0
+    return (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+
+
 def encode_bytes(text: str) -> np.ndarray:
     """Encode a Python string to a uint8 array (latin-1)."""
     return np.frombuffer(text.encode("latin-1", errors="replace"), dtype=np.uint8)

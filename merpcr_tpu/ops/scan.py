@@ -61,6 +61,7 @@ class ScanConfig:
     mismatches: int  # -N
     three_prime_match: int  # -X
     iupac: bool  # -I: verify via 256x256 LUT; else arithmetic case-fold
+    packed: bool  # genome shipped as 4-bit nibbles, 2 bases/byte
     tile_len: int  # scan positions per tile (L)
     lead: int  # left halo bytes  = max hash_offset over entries
     tail: int  # right halo bytes = max_pcr_size + margin
@@ -74,7 +75,13 @@ class ScanConfig:
 
     @property
     def tile_buf(self) -> int:
+        """Tile buffer length in POSITIONS (bases)."""
         return self.lead + self.tile_len + self.tail
+
+    @property
+    def tile_buf_in(self) -> int:
+        """Tile buffer length in INPUT BYTES (2 bases/byte when packed)."""
+        return self.tile_buf // 2 if self.packed else self.tile_buf
 
     @property
     def n_ranks(self) -> int:
@@ -160,7 +167,14 @@ def _scan_tile_impl(
     tile_start: jnp.ndarray,
     n_scan: jnp.ndarray,
     record_len: jnp.ndarray,
+    stop: str | None = None,  # profiling hook: truncate after a stage
 ) -> ScanOut:
+    def _stopped(*vals):
+        acc = jnp.int32(0)
+        for v in vals:
+            acc = acc + jnp.sum(v.astype(jnp.int32))
+        o = _empty_out(cfg)
+        return o._replace(c_total=acc)
     W = cfg.wordsize
     L = cfg.tile_len
     LEAD = cfg.lead
@@ -172,39 +186,90 @@ def _scan_tile_impl(
     E = table.hash_offset.shape[0]
     U = table.uhash.shape[0]
 
-    # ---- 1-2. rolling hash + validity over all L scan positions -----------
-    codes = _encode_codes(tile_bytes)  # int32[TB]
-    isamb = codes == AMBIG
-    cc = jnp.where(isamb, 0, codes).astype(jnp.uint32)
+    # ---- 0-3. hash + validity + occupancy flags ---------------------------
+    def bloom_flag(h, pvalid):
+        shift = 2 * W - cfg.bloom_bits  # >= 0
+        bk = (h >> shift) if shift else h
+        word = table.bloom[(bk >> 5).astype(jnp.int32)]
+        return pvalid & (((word >> (bk & 31)) & 1) == 1)
 
-    h = jnp.zeros((L,), dtype=jnp.uint32)
-    amb = jnp.zeros((L,), dtype=jnp.bool_)
-    for i in range(W):  # static unroll: W <= 16 shifted ORs (VPU)
-        h = (h << 2) | jax.lax.dynamic_slice(cc, (LEAD + i,), (L,))
-        amb = amb | jax.lax.dynamic_slice(isamb, (LEAD + i,), (L,))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
-    pvalid = (~amb) & (lane < n_scan)
-
-    # ---- 3. occupancy bitmask --------------------------------------------
-    shift = 2 * W - cfg.bloom_bits  # >= 0
-    bk = (h >> shift) if shift else h
-    word = table.bloom[(bk >> 5).astype(jnp.int32)]
-    hasbit = ((word >> (bk & 31)) & 1) == 1
-    flag = pvalid & hasbit
-
-    # ---- 4. compact candidate positions + exact CSR lookup ----------------
-    # Hierarchical compaction: pack flags into 32-bit words (cheap VPU
-    # reduce), run nonzero over the 32x-smaller word array, then expand the
-    # (rare) non-empty words' bits. A word with any bit set implies >= 1
-    # candidate position, so w_total <= c_total and cpos_cap bounds both —
-    # no new overflow mode. Order (word asc, bit asc) == position asc,
-    # preserving the emission-order contract.
     NW = L // 32
-    fb = flag.reshape(NW, 32).astype(jnp.uint32)
-    wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
-    words = jnp.sum(fb << wbits, axis=1, dtype=jnp.uint32)
-    c_total = jnp.sum(flag.astype(jnp.int32))
-    (widx,) = jnp.nonzero(words != 0, size=cfg.cpos_cap, fill_value=NW - 1)
+    if cfg.packed:
+        # Dual-parity streams: nibbles stay in packed layout (no interleave
+        # relayout). Even positions live in low nibbles, odd in high; the
+        # rolling hash is computed as two half-rate streams whose W window
+        # taps alternate between the two nibble planes.
+        b = tile_bytes.astype(jnp.int32)
+        En, On = b & 15, b >> 4
+        Ec = jnp.where(En < 4, En, 0).astype(jnp.uint32)
+        Oc = jnp.where(On < 4, On, 0).astype(jnp.uint32)
+        Ea, Oa = En >= 4, On >= 4
+        H = L // 2
+        j0 = LEAD // 2
+        he = jnp.zeros((H,), jnp.uint32)
+        ho = jnp.zeros((H,), jnp.uint32)
+        ae = jnp.zeros((H,), jnp.bool_)
+        ao = jnp.zeros((H,), jnp.bool_)
+        for i in range(W):
+            if i % 2 == 0:  # even offset: even stream taps E, odd taps O
+                se, me = Ec, Ea
+                so, mo = Oc, Oa
+                offe = offo = j0 + i // 2
+            else:  # odd offset: even stream taps O, odd stream taps next E
+                se, me = Oc, Oa
+                so, mo = Ec, Ea
+                offe = j0 + (i - 1) // 2
+                offo = j0 + (i + 1) // 2
+            he = (he << 2) | jax.lax.dynamic_slice(se, (offe,), (H,))
+            ho = (ho << 2) | jax.lax.dynamic_slice(so, (offo,), (H,))
+            ae = ae | jax.lax.dynamic_slice(me, (offe,), (H,))
+            ao = ao | jax.lax.dynamic_slice(mo, (offo,), (H,))
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (H,), 0)
+        pv_e = (~ae) & (2 * lane2 < n_scan)
+        pv_o = (~ao) & (2 * lane2 + 1 < n_scan)
+        if stop == "hash":
+            return _stopped(he, ho, pv_e, pv_o)
+        # ONE bloom lookup covers the whole pair: the table holds each
+        # bucket key plus its four predecessor W-mers (see table.py), so
+        # testing the even position's W-mer detects candidates at either
+        # parity. When only the odd position has a valid window (ambiguity
+        # boundary), its own W-mer is tested instead — also exact, since
+        # bucket keys themselves are in the table.
+        key = jnp.where(pv_e, he, ho)
+        flag = bloom_flag(key, pv_e | pv_o)
+        if stop == "bloom":
+            return _stopped(flag)
+        c_total = jnp.sum(flag.astype(jnp.int32))  # candidate PAIRS
+        NWU = H // 32
+        fb = flag.reshape(NWU, 32).astype(jnp.uint32)
+        wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+        words = jnp.sum(fb << wbits, axis=1, dtype=jnp.uint32)
+    else:
+        codes = _encode_codes(tile_bytes)
+        isamb = codes == AMBIG
+        cc = jnp.where(isamb, 0, codes).astype(jnp.uint32)
+        h = jnp.zeros((L,), dtype=jnp.uint32)
+        amb = jnp.zeros((L,), dtype=jnp.bool_)
+        for i in range(W):  # static unroll: W <= 16 shifted ORs (VPU)
+            h = (h << 2) | jax.lax.dynamic_slice(cc, (LEAD + i,), (L,))
+            amb = amb | jax.lax.dynamic_slice(isamb, (LEAD + i,), (L,))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+        flag = bloom_flag(h, (~amb) & (lane < n_scan))
+        c_total = jnp.sum(flag.astype(jnp.int32))
+        NWU = NW
+        fb = flag.reshape(NWU, 32).astype(jnp.uint32)
+        wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+        words = jnp.sum(fb << wbits, axis=1, dtype=jnp.uint32)
+
+    # ---- 4. compact candidate units + exact CSR lookup --------------------
+    # Hierarchical compaction: flags are packed into 32-bit words (cheap VPU
+    # reduce), nonzero runs over the 32x-smaller word array, then the (rare)
+    # non-empty words' bits are expanded. A word with any bit set implies
+    # >= 1 candidate unit, so w_total <= c_total and cpos_cap bounds both —
+    # no new overflow mode. Order (word asc, bit asc) == unit asc,
+    # preserving the emission-order contract. A "unit" is a position-pair
+    # in packed mode, a single position otherwise.
+    (widx,) = jnp.nonzero(words != 0, size=cfg.cpos_cap, fill_value=NWU - 1)
     wordsel = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (cfg.cpos_cap,), 0)
         < jnp.sum((words != 0).astype(jnp.int32)),
@@ -215,27 +280,66 @@ def _scan_tile_impl(
     bflag = ((wordsel[:, None] >> bit) & 1) == 1
     bpos = widx[:, None] * 32 + bit.astype(jnp.int32)
     (pidx,) = jnp.nonzero(bflag.reshape(-1), size=cfg.cpos_cap, fill_value=0)
-    cpos = bpos.reshape(-1)[pidx]
+    cpos = bpos.reshape(-1)[pidx]  # ascending unit indices
+    if stop == "compact":
+        return _stopped(cpos)
     clane = jax.lax.broadcasted_iota(jnp.int32, (cfg.cpos_cap,), 0)
     cvalid = clane < c_total
 
-    hc = h[cpos]
-    u = jnp.searchsorted(table.uhash, hc)
-    uc = jnp.clip(u, 0, U - 1)
-    found = (u < U) & (table.uhash[uc] == hc)
-    start = table.ustart[uc]
-    cnt = jnp.where(found & cvalid, table.ustart[uc + 1] - start, 0)
+    def exact_csr(hq, mask):
+        """Exact bucket lookup via searchsorted; returns (start, count)."""
+        u = jnp.searchsorted(table.uhash, hq)
+        uc = jnp.clip(u, 0, U - 1)
+        found = (u < U) & (table.uhash[uc] == hq) & mask
+        start = table.ustart[uc]
+        cnt = jnp.where(found, table.ustart[uc + 1] - start, 0)
+        return start, cnt
 
-    # ---- 5. (pos, slot) pair expansion ------------------------------------
-    csum = jnp.cumsum(cnt)
-    pair_total = csum[-1]
-    j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
-    src = jnp.searchsorted(csum, j, side="right")
-    pair_valid = j < pair_total
-    srcc = jnp.clip(src, 0, cfg.cpos_cap - 1)
-    slot = j - (csum[srcc] - cnt[srcc])
-    entry = jnp.clip(start[srcc] + slot, 0, E - 1)
-    ppos = cpos[srcc]  # local scan position of each pair
+    # ---- 5. (unit, slot) -> candidate expansion ---------------------------
+    if cfg.packed:
+
+        def plane_at(idx):
+            """Gather 4-bit letter codes at (clipped) position indices."""
+            ic = jnp.clip(idx, 0, TB - 1)
+            pkb = tile_bytes[ic >> 1].astype(jnp.int32)
+            return jnp.where((ic & 1) == 0, pkb & 15, pkb >> 4)
+
+        # each compacted pair contributes the even position's bucket
+        # candidates first, then the odd position's — scan order
+        s_e, c_e = exact_csr(he[cpos], pv_e[cpos] & cvalid)
+        s_o, c_o = exact_csr(ho[cpos], pv_o[cpos] & cvalid)
+        cnt = c_e + c_o
+        csum = jnp.cumsum(cnt)
+        pair_total = csum[-1]
+        j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
+        src = jnp.searchsorted(csum, j, side="right")
+        pair_valid = j < pair_total
+        srcc = jnp.clip(src, 0, cfg.cpos_cap - 1)
+        slot = j - (csum[srcc] - cnt[srcc])
+        is_odd = slot >= c_e[srcc]
+        entry = jnp.clip(
+            jnp.where(is_odd, s_o[srcc] + slot - c_e[srcc], s_e[srcc] + slot),
+            0,
+            E - 1,
+        )
+        ppos = cpos[srcc] * 2 + is_odd.astype(jnp.int32)
+        if stop == "expand":
+            return _stopped(entry, ppos)
+    else:
+
+        def plane_at(idx):
+            return tile_bytes[jnp.clip(idx, 0, TB - 1)].astype(jnp.int32)
+
+        start, cnt = exact_csr(h[cpos], cvalid)
+        csum = jnp.cumsum(cnt)
+        pair_total = csum[-1]
+        j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
+        src = jnp.searchsorted(csum, j, side="right")
+        pair_valid = j < pair_total
+        srcc = jnp.clip(src, 0, cfg.cpos_cap - 1)
+        slot = j - (csum[srcc] - cnt[srcc])
+        entry = jnp.clip(start[srcc] + slot, 0, E - 1)
+        ppos = cpos[srcc]  # local scan position of each pair
 
     # ---- 6. primer1 verify (reference engine.py:486-515, 599-642 '+') -----
     hoff = table.hash_offset[entry]
@@ -245,13 +349,19 @@ def _scan_tile_impl(
     inb = (kg >= 0) & (kg + l1 <= record_len)  # engine.py:487
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap, cfg.p1_max), 1)
-    sidx = jnp.clip(kl[:, None] + ii, 0, TB - 1)
-    sb = tile_bytes[sidx].astype(jnp.int32)
-    pb = table.p1_bytes[entry].astype(jnp.int32)
-    if cfg.iupac:
-        m1 = table.match[sb * 256 + pb] != 0
-    else:  # non-IUPAC match is exactly case-insensitive equality
-        m1 = _byte_fold(sb) == _byte_fold(pb)
+    sb = plane_at(kl[:, None] + ii)
+    if cfg.packed:
+        pb = table.p1_codes[entry].astype(jnp.int32)
+        if cfg.iupac:
+            m1 = table.nib_match[sb * 32 + pb] != 0
+        else:  # genome nibble == primer code (codes >= 16 never match)
+            m1 = sb == pb
+    else:
+        pb = table.p1_bytes[entry].astype(jnp.int32)
+        if cfg.iupac:
+            m1 = table.match[sb * 256 + pb] != 0
+        else:  # non-IUPAC match is exactly case-insensitive equality
+            m1 = _byte_fold(sb) == _byte_fold(pb)
     act1 = ii < l1[:, None]
     mm1 = act1 & ~m1
     prot1 = ii >= (l1[:, None] - X)  # '+' strand: last X bases (engine.py:609)
@@ -261,6 +371,8 @@ def _scan_tile_impl(
         & ~jnp.any(mm1 & prot1, axis=1)
         & (jnp.sum(mm1, axis=1) <= NMM)
     )
+    if stop == "p1":
+        return _stopped(p1_ok)
 
     # ---- compact anchors ---------------------------------------------------
     (a_idx,) = jnp.nonzero(p1_ok, size=cfg.anch_cap, fill_value=0)
@@ -305,17 +417,23 @@ def _scan_tile_impl(
     span = 2 * M + cfg.p2_max
     wbase_l = (ak + exp - al2 - M) - tile_start + LEAD
     jjj = jax.lax.broadcasted_iota(jnp.int32, (cfg.anch_cap, span), 1)
-    widx = jnp.clip(wbase_l[:, None] + jjj, 0, TB - 1)
-    wb = tile_bytes[widx].astype(jnp.int32)  # [ANCH, span]
+    wb = plane_at(wbase_l[:, None] + jjj)  # [ANCH, span]
 
     i2 = jax.lax.broadcasted_iota(jnp.int32, (R, cfg.p2_max), 1)
     off = M + d[:, None] + i2  # static-range offsets in [0, span)
     sb2 = wb[:, off]  # [ANCH, R, P2MAX] gather with statically-known indices
-    pb2 = table.p2_bytes[aentry].astype(jnp.int32)  # [ANCH, P2MAX]
-    if cfg.iupac:
-        m2 = table.match[sb2 * 256 + pb2[:, None, :]] != 0
+    if cfg.packed:
+        pb2 = table.p2_codes[aentry].astype(jnp.int32)
+        if cfg.iupac:
+            m2 = table.nib_match[sb2 * 32 + pb2[:, None, :]] != 0
+        else:
+            m2 = sb2 == pb2[:, None, :]
     else:
-        m2 = _byte_fold(sb2) == _byte_fold(pb2)[:, None, :]
+        pb2 = table.p2_bytes[aentry].astype(jnp.int32)
+        if cfg.iupac:
+            m2 = table.match[sb2 * 256 + pb2[:, None, :]] != 0
+        else:
+            m2 = _byte_fold(sb2) == _byte_fold(pb2)[:, None, :]
     act2 = i2[None, :, :] < al2[:, None, None]
     mm2 = act2 & ~m2
     prot2 = i2[None, :, :] < X  # '-' strand: first X bases (engine.py:610-611)
@@ -369,11 +487,12 @@ def get_record_scan_fn(cfg: ScanConfig, n_tiles: int):
     nothing.
     """
 
+    stride = cfg.tile_len // 2 if cfg.packed else cfg.tile_len
+
     def f(table, padded, start0, total_scan, record_len):
         def body(t):
-            local = t * cfg.tile_len
-            tb = jax.lax.dynamic_slice(padded, (local,), (cfg.tile_buf,))
-            gstart = start0 + local
+            tb = jax.lax.dynamic_slice(padded, (t * stride,), (cfg.tile_buf_in,))
+            gstart = start0 + t * cfg.tile_len
             n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
             return _scan_tile(cfg, table, tb, gstart, n_scan, record_len)
 
@@ -395,6 +514,7 @@ def default_config(
     tile_len: int = 1 << 19,
     n_entries: int = 0,
     iupac: bool = False,
+    packed: bool = True,
 ) -> ScanConfig:
     """Capacity heuristics.
 
@@ -404,15 +524,23 @@ def default_config(
     tile that still overflows is retried with escalated capacities, so
     undersizing costs a retry, never correctness.
     """
-    tail = max_pcr_size + margin
-    expect = int(tile_len * max(n_entries, 1) / float(4**wordsize)) + 1
-    cpos_cap = min(max(512, 6 * expect), tile_len)
+    # lead/tail rounded to multiples of 8 (even: nibble packing needs even
+    # halos; rounding also coalesces compile configs across similar tables)
+    lead = -(-lead // 8) * 8
+    tail = -(-(max_pcr_size + margin) // 8) * 8
+    # candidate-unit expectation: real hits ~ L*E/4^W; the pair-level bloom
+    # adds ~4 predecessor bits/key of false positives over L/2 pairs
+    # (~2.5x), so size with generous headroom — escalation recompiles are
+    # far more expensive than slack capacity.
+    expect = int(tile_len * max(n_entries, 1) * 3 / float(4**wordsize)) + 1
+    cpos_cap = min(max(1024, 2 * expect), tile_len)
     return ScanConfig(
         wordsize=wordsize,
         margin=margin,
         mismatches=mismatches,
         three_prime_match=three_prime_match,
         iupac=iupac,
+        packed=packed,
         tile_len=tile_len,
         lead=lead,
         tail=tail,

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.sts import STSLoadResult
-from .encoding import SCODE, match_matrix
+from .encoding import PRIMER_CODE_LUT, SCODE, match_matrix, nib_match_matrix
 
 MAX_BLOOM_BITS = 24  # 2^24 bits = 2 MB; exact for W <= 12
 
@@ -49,6 +49,11 @@ class DeviceTable(NamedTuple):
     pcr_size: jnp.ndarray  # int32[E]
     p1_bytes: jnp.ndarray  # uint8[E, P1MAX]
     p2_bytes: jnp.ndarray  # uint8[E, P2MAX]
+    # nibble-plane variants (packed genome path): primer codes 0..17 and the
+    # 16 x 32 match table (flattened) with identical semantics
+    nib_match: jnp.ndarray  # uint8[512]
+    p1_codes: jnp.ndarray  # uint8[E, P1MAX]
+    p2_codes: jnp.ndarray  # uint8[E, P2MAX]
 
 
 @dataclass
@@ -97,8 +102,19 @@ def compile_table(
     bloom_bits = min(two_w, MAX_BLOOM_BITS)
     shift = two_w - bloom_bits
     bloom = np.zeros((1 << bloom_bits) // 32, dtype=np.uint32)
-    keys = (uhash >> shift).astype(np.uint64)
-    np.bitwise_or.at(bloom, (keys >> 5).astype(np.int64), np.uint32(1) << (keys & 31).astype(np.uint32))
+    # Pair-level occupancy: one lookup covers two adjacent scan positions.
+    # For every bucket key k we set bits for k itself AND its four
+    # "predecessor" W-mers (c . k[:-1]) — the W-mer one position earlier in
+    # any sequence where k occurs next. The scan then tests only the even
+    # position's W-mer per pair: a set bit means position 2t (key k) and/or
+    # position 2t+1 (k is a predecessor of its W-mer) may anchor a match;
+    # the exact searchsorted stage removes the false positives.
+    kk = uhash.astype(np.uint64)
+    pred = (kk >> 2)[None, :] | (np.arange(4, dtype=np.uint64)[:, None] << (two_w - 2))
+    keys = np.concatenate([kk[None, :], pred], axis=0).reshape(-1) >> shift
+    np.bitwise_or.at(
+        bloom, (keys >> 5).astype(np.int64), np.uint32(1) << (keys & 31).astype(np.uint32)
+    )
 
     p1_max = max(16, _round_up(int(res.p1_lens.max()) if E else 16, 8))
     p2_max = max(16, _round_up(int(res.p2_lens.max()) if E else 16, 8))
@@ -136,6 +152,9 @@ def compile_table(
         pcr_size=jnp.asarray(col(res.pcr_sizes, pad=1)),
         p1_bytes=jnp.asarray(p1_bytes),
         p2_bytes=jnp.asarray(p2_bytes),
+        nib_match=jnp.asarray(nib_match_matrix(iupac_mode).reshape(-1)),
+        p1_codes=jnp.asarray(PRIMER_CODE_LUT[p1_bytes]),
+        p2_codes=jnp.asarray(PRIMER_CODE_LUT[p2_bytes]),
     )
     meta = TableMeta(
         wordsize=wordsize,

@@ -38,14 +38,15 @@ def _get_sharded_fn(cfg: ScanConfig, n_shards: int, tiles_per_shard: int,
     """Compiled shard_map program: every shard scans its tiles_per_shard
     tiles, then all shards all-gather the stacked hit buffers."""
 
+    stride = cfg.tile_len // 2 if cfg.packed else cfg.tile_len
+
     def per_shard(table, padded, tile_start0, total_scan, record_len):
         padded = padded[0]  # (buf,)
         start0 = tile_start0[0]
 
         def body(t):
-            local = t * cfg.tile_len
-            tb = jax.lax.dynamic_slice(padded, (local,), (cfg.tile_buf,))
-            gstart = start0 + local
+            tb = jax.lax.dynamic_slice(padded, (t * stride,), (cfg.tile_buf_in,))
+            gstart = start0 + t * cfg.tile_len
             n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
             return _scan_tile(cfg, table, tb, gstart, n_scan, record_len)
 
@@ -88,7 +89,10 @@ def sharded_scan_record(
     tiles_per_shard = -(-n_tiles // n_shards)
     span = tiles_per_shard * L  # scan positions per shard
 
-    buf_len = cfg.lead + span + cfg.tail
+    from ..ops.encoding import NIB_LUT, pack_nibbles
+
+    pos_len = cfg.lead + span + cfg.tail
+    buf_len = pos_len // 2 if cfg.packed else pos_len
     padded_shards = np.zeros((n_shards, buf_len), dtype=np.uint8)
     tile_start0 = np.zeros((n_shards,), dtype=np.int32)
     for s in range(n_shards):
@@ -96,9 +100,12 @@ def sharded_scan_record(
         tile_start0[s] = gstart
         src0 = gstart - cfg.lead
         a = max(0, src0)
-        b = min(n, src0 + buf_len)
+        b = min(n, src0 + pos_len)
+        pos = np.zeros(pos_len, dtype=np.uint8)
         if b > a:
-            padded_shards[s, a - src0 : b - src0] = seq[a:b]
+            chunk = seq[a:b]
+            pos[a - src0 : b - src0] = NIB_LUT[chunk] if cfg.packed else chunk
+        padded_shards[s] = pack_nibbles(pos) if cfg.packed else pos
 
     fn = _get_sharded_fn(cfg, n_shards, tiles_per_shard, axis)
     out = fn(mesh, table, padded_shards, tile_start0,
