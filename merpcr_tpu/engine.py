@@ -96,6 +96,10 @@ class MerPCR:
         # Optional jax.sharding.Mesh: shard records across devices
         # (set via use_mesh(); output is identical to single-device).
         self.mesh = None
+        # Device-resident genome plane cache: repeated searches over the
+        # same records (e.g. margin/mismatch parameter sweeps) skip the
+        # host->device transfer entirely.
+        self._device_plane_cache: dict = {}
 
         self._validate_parameters()
 
@@ -233,19 +237,39 @@ class MerPCR:
         else:
             G = self.TILE_GROUP
             n_groups = -(-n_tiles // G)
-            plane = self._plane(
-                seq, packed_rec, cfg0.lead + n_groups * G * L + cfg0.tail,
-                cfg0.lead,
-            )
             d = 2 if packed else 1  # positions per input byte
             glen = (cfg0.lead + G * L + cfg0.tail) // d
+            ck = (n, cfg0.lead, cfg0.tail, L, G, packed)
+            # cache device planes on the sequence-owning array object so the
+            # cache lifetime follows the data (no id-reuse hazards)
+            owner = packed_rec if packed_rec is not None else seq
+            cache = self._device_plane_cache.setdefault(id(owner), {})
+            cache["_owner"] = owner  # keep alive while cached
+            groups = cache.get(ck)
+            if groups is None:
+                plane = self._plane(
+                    seq, packed_rec, cfg0.lead + n_groups * G * L + cfg0.tail,
+                    cfg0.lead,
+                )
+                groups = [
+                    plane[g * G * L // d : g * G * L // d + glen]
+                    for g in range(n_groups)
+                ]
+                import jax
+
+                groups = [jax.device_put(s) for s in groups]
+                if len(self._device_plane_cache) > 64:
+                    self._device_plane_cache.clear()
+                    cache = self._device_plane_cache.setdefault(id(owner), {})
+                    cache["_owner"] = owner
+                cache[ck] = groups
             fn = get_record_scan_fn(cfg0, G)
             # dispatch all groups without blocking; jax pipelines the
             # per-group H2D transfers with earlier groups' compute
             pend = [
                 fn(
                     self._table,
-                    plane[g * G * L // d : g * G * L // d + glen],
+                    groups[g],
                     np.int32(g * G * L),
                     np.int32(total_scan),
                     np.int32(n),

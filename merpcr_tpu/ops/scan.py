@@ -276,11 +276,24 @@ def _scan_tile_impl(
         words[widx],
         0,
     )
-    bit = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
-    bflag = ((wordsel[:, None] >> bit) & 1) == 1
-    bpos = widx[:, None] * 32 + bit.astype(jnp.int32)
-    (pidx,) = jnp.nonzero(bflag.reshape(-1), size=cfg.cpos_cap, fill_value=0)
-    cpos = bpos.reshape(-1)[pidx]  # ascending unit indices
+    # Expand set bits to unit indices without a (cap x 32)-lane nonzero:
+    # popcount prefix sums assign each output slot q its (word, rank), and
+    # a 5-level binary search selects the rank-th set bit — all VPU ops.
+    pc = jax.lax.population_count(wordsel).astype(jnp.int32)
+    cum = jnp.cumsum(pc)
+    q = jax.lax.broadcasted_iota(jnp.int32, (cfg.cpos_cap,), 0)
+    wsel = jnp.clip(jnp.searchsorted(cum, q, side="right"), 0, cfg.cpos_cap - 1)
+    r = q - (cum[wsel] - pc[wsel])
+    wq = wordsel[wsel]
+    b = jnp.zeros_like(r)
+    for half in (16, 8, 4, 2, 1):
+        lowmask = jnp.uint32((1 << half) - 1)
+        clow = jax.lax.population_count(wq & lowmask).astype(jnp.int32)
+        go_hi = r >= clow
+        b = b + jnp.where(go_hi, half, 0)
+        r = r - jnp.where(go_hi, clow, 0)
+        wq = jnp.where(go_hi, wq >> half, wq & lowmask)
+    cpos = widx[wsel] * 32 + b  # ascending unit indices
     if stop == "compact":
         return _stopped(cpos)
     clane = jax.lax.broadcasted_iota(jnp.int32, (cfg.cpos_cap,), 0)
