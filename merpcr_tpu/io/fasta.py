@@ -51,11 +51,13 @@ class FASTALoader:
         defline: str | None = None
         parts: list[bytes] = []
 
+        from ..native import fasta_filter
+
         def flush():
             if defline is None:
                 return
             raw = np.frombuffer(b"".join(parts), dtype=np.uint8)
-            filtered = raw[FASTA_KEEP[raw]]
+            filtered = fasta_filter(raw, FASTA_KEEP)
             rec = FASTARecord(
                 defline=defline, sequence=filtered.tobytes().decode("latin-1")
             )
@@ -98,18 +100,13 @@ def record_packed(record: FASTARecord):
     array holds the record's 4-bit codes two-per-byte starting at an even
     position boundary (one trailing pad nibble for odd lengths).
     """
-    from ..ops.encoding import NIB_LUT, pack_nibbles
+    from ..native import nibble_pack
+    from ..ops.encoding import NIB_LUT
 
     seq = record_seq_bytes(record)
     cached = getattr(record, "_packed_cache", None)
     if cached is not None and cached[0] == len(seq):
         return cached[1]
-    nib = NIB_LUT[seq]
-    if nib.size and nib.max() == 255:
-        packed = None
-    else:
-        if len(nib) % 2:
-            nib = np.concatenate([nib, np.zeros(1, dtype=np.uint8)])
-        packed = pack_nibbles(nib)
+    packed = nibble_pack(seq, NIB_LUT)
     record._packed_cache = (len(seq), packed)
     return packed

@@ -23,8 +23,9 @@ if os.environ.get("MERPCR_TEST_BACKEND", "cpu") == "cpu":
         pass
 
 REFERENCE_ROOT = "/root/reference"
-GOLDEN_STS = os.path.join(REFERENCE_ROOT, "tests/data/test.sts")
-GOLDEN_FA = os.path.join(REFERENCE_ROOT, "tests/data/test.fa")
+_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+GOLDEN_STS = os.path.join(_DATA, "test.sts")
+GOLDEN_FA = os.path.join(_DATA, "test.fa")
 GOLDEN_LINE = "L78833\t75823..76023\tAFM248yg9\t(D17S932)  Chr.17, 63.7 cM\t(-)"
 
 have_golden = os.path.exists(GOLDEN_STS)
