@@ -15,6 +15,7 @@ tiling replaces host threading and never changes the output.
 from __future__ import annotations
 
 import logging
+import os
 import sys
 import time
 from typing import List, Optional
@@ -391,6 +392,18 @@ class MerPCR:
         else:
             output = sys.stdout
 
+        # Observability: optional XLA profiler trace directory
+        # (view with tensorboard / xprof).
+        trace_dir = os.environ.get("MERPCR_TPU_TRACE")
+        profiler_ctx = None
+        if trace_dir:
+            import jax
+
+            profiler_ctx = jax.profiler.trace(trace_dir)
+            profiler_ctx.__enter__()
+        search_t0 = time.time()
+        total_bp = 0
+
         try:
             for record in fasta_records:
                 seq_label = record.label
@@ -420,13 +433,22 @@ class MerPCR:
                             file=output,
                         )
                     total_hits += len(arr)
+                total_bp += seq_len
                 logger.debug(
                     "searched %s (%d bp) in %.3fs", seq_label, seq_len, time.time() - t0
                 )
         finally:
             if output is not sys.stdout:
                 output.close()
+            if profiler_ctx is not None:
+                profiler_ctx.__exit__(None, None, None)
 
+        elapsed = time.time() - search_t0
+        if elapsed > 0 and total_bp:
+            logger.info(
+                "Throughput: %.2f Mbp/s (%d bp in %.3fs)",
+                total_bp / 1e6 / elapsed, total_bp, elapsed,
+            )
         logger.info(f"Total hits found: {total_hits}")
         self.total_hits = total_hits
         return total_hits
