@@ -53,7 +53,7 @@ MAX_PCR_SIZE = 10000
 
 # Tile-length buckets: smallest bucket covering the record is used, so small
 # inputs compile small programs; large genomes stream 512K-position tiles.
-TILE_LEN_BUCKETS = (1 << 15, 1 << 17, 1 << 19)
+TILE_LEN_BUCKETS = (1 << 15, 1 << 17, 1 << 19, 1 << 21)
 MAX_ESCALATIONS = 12
 
 logger = logging.getLogger(__name__)

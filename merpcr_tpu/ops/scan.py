@@ -509,6 +509,8 @@ def get_record_scan_fn(cfg: ScanConfig, n_tiles: int):
             n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
             return _scan_tile(cfg, table, tb, gstart, n_scan, record_len)
 
+        # sequential map: measured faster than vmap here (the L-wide hash /
+        # bloom stages batch poorly; the backend stages are already small)
         return jax.lax.map(body, jnp.arange(n_tiles, dtype=jnp.int32))
 
     return jax.jit(f)
