@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--mbp", type=float, default=47.0)
     ap.add_argument("--nsts", type=int, default=1000)
     ap.add_argument("--repeat", type=int, default=3)
+    # the other BASELINE.json config axes
+    ap.add_argument("--mismatches", type=int, default=0, help="-N (config #3)")
+    ap.add_argument("--three-prime", type=int, default=1, help="-X")
+    ap.add_argument("--iupac", type=int, default=0, help="-I (config #4)")
+    ap.add_argument("--margin", type=int, default=50, help="-M")
     args = ap.parse_args()
 
     import merpcr_tpu
@@ -58,7 +63,13 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         sts_path, fa_path, n = gen_data(td, args.mbp, args.nsts)
 
-        eng = merpcr_tpu.MerPCR(wordsize=11, margin=50, mismatches=0)
+        eng = merpcr_tpu.MerPCR(
+            wordsize=11,
+            margin=args.margin,
+            mismatches=args.mismatches,
+            three_prime_match=args.three_prime,
+            iupac_mode=args.iupac,
+        )
         assert eng.load_sts_file(sts_path)
         records = eng.load_fasta_file(fa_path)
 
@@ -85,6 +96,10 @@ def main():
             "detail": {
                 "genome_mbp": args.mbp,
                 "n_sts": args.nsts,
+                "params": {
+                    "M": args.margin, "N": args.mismatches,
+                    "X": args.three_prime, "I": args.iupac,
+                },
                 "best_s": round(best, 4),
                 "all_s": [round(t, 4) for t in times],
                 "hits": hits,
