@@ -164,6 +164,7 @@ class MerPCR:
             n_entries=m.n_entries,
             iupac=bool(self.iupac_mode),
             packed=packed,
+            pair_bloom=m.pair_bloom,
         )
 
     @staticmethod

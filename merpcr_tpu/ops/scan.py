@@ -62,6 +62,7 @@ class ScanConfig:
     three_prime_match: int  # -X
     iupac: bool  # -I: verify via 256x256 LUT; else arithmetic case-fold
     packed: bool  # genome shipped as 4-bit nibbles, 2 bases/byte
+    pair_bloom: bool  # one occupancy lookup per two positions (sparse tables)
     tile_len: int  # scan positions per tile (L)
     lead: int  # left halo bytes  = max hash_offset over entries
     tail: int  # right halo bytes = max_pcr_size + margin
@@ -229,21 +230,48 @@ def _scan_tile_impl(
         pv_o = (~ao) & (2 * lane2 + 1 < n_scan)
         if stop == "hash":
             return _stopped(he, ho, pv_e, pv_o)
-        # ONE bloom lookup covers the whole pair: the table holds each
-        # bucket key plus its four predecessor W-mers (see table.py), so
-        # testing the even position's W-mer detects candidates at either
-        # parity. When only the odd position has a valid window (ambiguity
-        # boundary), its own W-mer is tested instead — also exact, since
-        # bucket keys themselves are in the table.
-        key = jnp.where(pv_e, he, ho)
-        flag = bloom_flag(key, pv_e | pv_o)
-        if stop == "bloom":
-            return _stopped(flag)
-        c_total = jnp.sum(flag.astype(jnp.int32))  # candidate PAIRS
-        NWU = H // 32
-        fb = flag.reshape(NWU, 32).astype(jnp.uint32)
-        wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
-        words = jnp.sum(fb << wbits, axis=1, dtype=jnp.uint32)
+        if cfg.pair_bloom:
+            # ONE bloom lookup covers the whole pair: the table holds each
+            # bucket key plus its four predecessor W-mers (see table.py),
+            # so testing the even position's W-mer detects candidates at
+            # either parity. When only the odd position has a valid window
+            # (ambiguity boundary), its own W-mer is tested instead — also
+            # exact, since bucket keys themselves are in the table.
+            key = jnp.where(pv_e, he, ho)
+            flag = bloom_flag(key, pv_e | pv_o)
+            if stop == "bloom":
+                return _stopped(flag)
+            c_total = jnp.sum(flag.astype(jnp.int32))  # candidate PAIRS
+            NWU = H // 32
+            fb = flag.reshape(NWU, 32).astype(jnp.uint32)
+            wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+            words = jnp.sum(fb << wbits, axis=1, dtype=jnp.uint32)
+        else:
+            # dense tables: per-position lookups (no predecessor FPs);
+            # parity streams are bit-interleaved back into canonical
+            # 32-position words with a Morton spread
+            flag_e = bloom_flag(he, pv_e)
+            flag_o = bloom_flag(ho, pv_o)
+            if stop == "bloom":
+                return _stopped(flag_e, flag_o)
+            c_total = jnp.sum(flag_e.astype(jnp.int32)) + jnp.sum(
+                flag_o.astype(jnp.int32)
+            )
+            NWU = L // 32
+            bits16 = jax.lax.broadcasted_iota(jnp.uint32, (1, 16), 1)
+            we = jnp.sum(flag_e.reshape(NWU, 16).astype(jnp.uint32) << bits16,
+                         axis=1, dtype=jnp.uint32)
+            wo = jnp.sum(flag_o.reshape(NWU, 16).astype(jnp.uint32) << bits16,
+                         axis=1, dtype=jnp.uint32)
+
+            def spread(x):  # 16 bits -> even bit positions of 32
+                x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+                x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+                x = (x | (x << 2)) & jnp.uint32(0x33333333)
+                x = (x | (x << 1)) & jnp.uint32(0x55555555)
+                return x
+
+            words = spread(we) | (spread(wo) << 1)
     else:
         codes = _encode_codes(tile_bytes)
         isamb = codes == AMBIG
@@ -317,6 +345,12 @@ def _scan_tile_impl(
             pkb = tile_bytes[ic >> 1].astype(jnp.int32)
             return jnp.where((ic & 1) == 0, pkb & 15, pkb >> 4)
 
+    else:
+
+        def plane_at(idx):
+            return tile_bytes[jnp.clip(idx, 0, TB - 1)].astype(jnp.int32)
+
+    if cfg.packed and cfg.pair_bloom:
         # each compacted pair contributes the even position's bucket
         # candidates first, then the odd position's — scan order
         s_e, c_e = exact_csr(he[cpos], pv_e[cpos] & cvalid)
@@ -339,11 +373,12 @@ def _scan_tile_impl(
         if stop == "expand":
             return _stopped(entry, ppos)
     else:
-
-        def plane_at(idx):
-            return tile_bytes[jnp.clip(idx, 0, TB - 1)].astype(jnp.int32)
-
-        start, cnt = exact_csr(h[cpos], cvalid)
+        if cfg.packed:  # per-position units with parity-selected hashes
+            ct = cpos >> 1
+            hc = jnp.where((cpos & 1) == 0, he[ct], ho[ct])
+        else:
+            hc = h[cpos]
+        start, cnt = exact_csr(hc, cvalid)
         csum = jnp.cumsum(cnt)
         pair_total = csum[-1]
         j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
@@ -352,7 +387,9 @@ def _scan_tile_impl(
         srcc = jnp.clip(src, 0, cfg.cpos_cap - 1)
         slot = j - (csum[srcc] - cnt[srcc])
         entry = jnp.clip(start[srcc] + slot, 0, E - 1)
-        ppos = cpos[srcc]  # local scan position of each pair
+        ppos = cpos[srcc]  # local scan position of each unit
+        if stop == "expand":
+            return _stopped(entry, ppos)
 
     # ---- 6. primer1 verify (reference engine.py:486-515, 599-642 '+') -----
     hoff = table.hash_offset[entry]
@@ -530,6 +567,7 @@ def default_config(
     n_entries: int = 0,
     iupac: bool = False,
     packed: bool = True,
+    pair_bloom: bool = True,
 ) -> ScanConfig:
     """Capacity heuristics.
 
@@ -543,12 +581,22 @@ def default_config(
     # halos; rounding also coalesces compile configs across similar tables)
     lead = -(-lead // 8) * 8
     tail = -(-(max_pcr_size + margin) // 8) * 8
-    # candidate-unit expectation: real hits ~ L*E/4^W; the pair-level bloom
-    # adds ~4 predecessor bits/key of false positives over L/2 pairs
-    # (~2.5x), so size with generous headroom — escalation recompiles are
-    # far more expensive than slack capacity.
-    expect = int(tile_len * max(n_entries, 1) * 3 / float(4**wordsize)) + 1
-    cpos_cap = min(max(1024, 2 * expect), tile_len)
+    # Candidate-unit expectation. Real bucket hits ~ L*E/4^W; pair mode adds
+    # ~4 predecessor bits/key of false positives over L/2 pairs. Escalation
+    # recompiles are far more expensive than slack capacity, so size with
+    # ~1.6x headroom over the estimate.
+    E = max(n_entries, 1)
+    p_real = E / float(4**wordsize)
+    if packed and pair_bloom:
+        p_unit = 2 * p_real + 4 * E / float(1 << bloom_bits)
+        units = tile_len // 2
+    else:
+        p_unit = p_real + E / float(1 << bloom_bits)  # + truncation FPs
+        units = tile_len
+    expect_units = int(units * min(p_unit, 1.0))
+    expect_cands = int(tile_len * p_real * 1.5)
+    cpos_cap = min(max(1024, int(1.6 * expect_units) + 256), units)
+    cand_cap = min(max(2048, int(1.6 * expect_cands) + 256), 4 * tile_len)
     return ScanConfig(
         wordsize=wordsize,
         margin=margin,
@@ -556,6 +604,7 @@ def default_config(
         three_prime_match=three_prime_match,
         iupac=iupac,
         packed=packed,
+        pair_bloom=pair_bloom,
         tile_len=tile_len,
         lead=lead,
         tail=tail,
@@ -563,7 +612,7 @@ def default_config(
         p2_max=p2_max,
         bloom_bits=bloom_bits,
         cpos_cap=cpos_cap,
-        cand_cap=2 * cpos_cap,
+        cand_cap=cand_cap,
         anch_cap=64,
         hit_cap=128,
     )

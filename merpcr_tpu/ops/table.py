@@ -64,6 +64,7 @@ class TableMeta:
     n_entries: int
     n_unique: int
     bloom_bits: int
+    pair_bloom: bool
     p1_max: int
     p2_max: int
     lead: int  # max hash_offset over entries (tile left halo)
@@ -109,9 +110,19 @@ def compile_table(
     # position's W-mer per pair: a set bit means position 2t (key k) and/or
     # position 2t+1 (k is a predecessor of its W-mer) may anchor a match;
     # the exact searchsorted stage removes the false positives.
+    #
+    # The predecessor bits cost ~4x extra false positives, which is a win
+    # only for sparse tables; above ~1.5% projected occupancy the scan
+    # falls back to one lookup per position (pair_bloom=False).
+    pair_bloom = (5 * max(len(uhash), 1)) / float(1 << bloom_bits) < 0.015
     kk = uhash.astype(np.uint64)
-    pred = (kk >> 2)[None, :] | (np.arange(4, dtype=np.uint64)[:, None] << (two_w - 2))
-    keys = np.concatenate([kk[None, :], pred], axis=0).reshape(-1) >> shift
+    if pair_bloom:
+        pred = (kk >> 2)[None, :] | (
+            np.arange(4, dtype=np.uint64)[:, None] << (two_w - 2)
+        )
+        keys = np.concatenate([kk[None, :], pred], axis=0).reshape(-1) >> shift
+    else:
+        keys = kk >> shift
     np.bitwise_or.at(
         bloom, (keys >> 5).astype(np.int64), np.uint32(1) << (keys & 31).astype(np.uint32)
     )
@@ -161,6 +172,7 @@ def compile_table(
         n_entries=E,
         n_unique=len(uhash),
         bloom_bits=bloom_bits,
+        pair_bloom=pair_bloom,
         p1_max=p1_max,
         p2_max=p2_max,
         lead=int(res.hash_offsets.max()) if E else 0,
