@@ -587,16 +587,20 @@ def default_config(
     # ~1.6x headroom over the estimate.
     E = max(n_entries, 1)
     p_real = E / float(4**wordsize)
+    # the occupancy bitmask is exact when it covers all 2W hash bits;
+    # truncation false positives only exist for W > bloom_bits/2
+    trunc_fp = E / float(1 << bloom_bits) if bloom_bits < 2 * wordsize else 0.0
     if packed and pair_bloom:
-        p_unit = 2 * p_real + 4 * E / float(1 << bloom_bits)
+        p_unit = 2 * p_real + 4 * E / float(1 << bloom_bits) + 2 * trunc_fp
         units = tile_len // 2
     else:
-        p_unit = p_real + E / float(1 << bloom_bits)  # + truncation FPs
+        p_unit = p_real + trunc_fp
         units = tile_len
     expect_units = int(units * min(p_unit, 1.0))
-    expect_cands = int(tile_len * p_real * 1.5)
-    cpos_cap = min(max(1024, int(1.6 * expect_units) + 256), units)
-    cand_cap = min(max(2048, int(1.6 * expect_cands) + 256), 4 * tile_len)
+    # E[sum of bucket counts] over the tile is exactly L * E / 4^W
+    expect_cands = int(tile_len * (p_real + trunc_fp))
+    cpos_cap = min(max(1024, int(1.5 * expect_units) + 256), units)
+    cand_cap = min(max(2048, int(1.3 * expect_cands) + 512), 4 * tile_len)
     return ScanConfig(
         wordsize=wordsize,
         margin=margin,
