@@ -328,7 +328,15 @@ def _scan_tile_impl(
     cvalid = clane < c_total
 
     def exact_csr(hq, mask):
-        """Exact bucket lookup via searchsorted; returns (start, count)."""
+        """Exact bucket lookup; returns (start, count).
+
+        W <= 12: one gather into the dense bucket_start table. Larger W:
+        log2(U)-step binary search over sorted unique hashes."""
+        if W <= 12:  # table.bstart has 4^W + 1 entries
+            hi = hq.astype(jnp.int32)
+            start = table.bstart[hi]
+            cnt = jnp.where(mask, table.bstart[hi + 1] - start, 0)
+            return start, cnt
         u = jnp.searchsorted(table.uhash, hq)
         uc = jnp.clip(u, 0, U - 1)
         found = (u < U) & (table.uhash[uc] == hq) & mask

@@ -43,6 +43,9 @@ class DeviceTable(NamedTuple):
     bloom: jnp.ndarray  # uint32[2^bloom_bits / 32]
     uhash: jnp.ndarray  # uint32[U]      sorted unique hashes
     ustart: jnp.ndarray  # int32[U+1]    CSR offsets into entry arrays
+    # dense CSR (W <= 12): bucket_start[4^W + 1] — exact lookup is ONE
+    # gather instead of a log2(U)-step binary search; dummy [0,0] otherwise
+    bstart: jnp.ndarray  # int32[4^W + 1] | int32[2]
     hash_offset: jnp.ndarray  # int32[E]
     p1_len: jnp.ndarray  # int32[E]
     p2_len: jnp.ndarray  # int32[E]
@@ -151,12 +154,22 @@ def compile_table(
         uhash_dev = uhash.astype(np.uint32)
         ustart_dev = ustart
 
+    dense_csr = wordsize <= 12  # 4^12+1 ints = 67 MB; above that, binary search
+    if dense_csr:
+        bstart = np.zeros((4**wordsize) + 1, dtype=np.int32)
+        if len(uhash):
+            bstart[uhash.astype(np.int64) + 1] = ustart_counts.astype(np.int32)
+        np.cumsum(bstart, out=bstart)
+    else:
+        bstart = np.zeros(2, dtype=np.int32)
+
     table = DeviceTable(
         scode=jnp.asarray(SCODE),
         match=jnp.asarray(match_matrix(iupac_mode).reshape(-1)),
         bloom=jnp.asarray(bloom),
         uhash=jnp.asarray(uhash_dev),
         ustart=jnp.asarray(ustart_dev),
+        bstart=jnp.asarray(bstart),
         hash_offset=jnp.asarray(col(res.hash_offsets)),
         p1_len=jnp.asarray(col(res.p1_lens)),
         p2_len=jnp.asarray(col(res.p2_lens)),
