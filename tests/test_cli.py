@@ -113,7 +113,8 @@ class TestSubprocess:
         env = dict(os.environ)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-        env["MERPCR_TPU_PLATFORM"] = os.environ.get("MERPCR_TEST_BACKEND", "cpu")
+        if os.environ.get("MERPCR_TEST_BACKEND", "cpu") == "cpu":
+            env["MERPCR_TPU_PLATFORM"] = "cpu"
         return env
 
     def test_module_entry(self):
