@@ -58,6 +58,10 @@ MAX_ESCALATIONS = 12
 
 logger = logging.getLogger(__name__)
 
+# Global device-plane cache (see MerPCR.__init__); bounded, keyed by the
+# owning host array's id + buffer geometry.
+_DEVICE_PLANE_CACHE: dict = {}
+
 
 class MerPCR:
     """TPU-native e-PCR engine (API parity: reference engine.py:44-97)."""
@@ -99,8 +103,9 @@ class MerPCR:
         self.mesh = None
         # Device-resident genome plane cache: repeated searches over the
         # same records (e.g. margin/mismatch parameter sweeps) skip the
-        # host->device transfer entirely.
-        self._device_plane_cache: dict = {}
+        # host->device transfer entirely. Module-global so sweeps that
+        # build a fresh MerPCR per setting still share planes.
+        self._device_plane_cache = _DEVICE_PLANE_CACHE
 
         self._validate_parameters()
 
@@ -185,6 +190,14 @@ class MerPCR:
         buf[lead : lead + len(seq)] = seq
         return buf
 
+    def _runtime_params(self) -> np.ndarray:
+        """Runtime (-M, -N, -X) vector: these don't affect program shapes,
+        so parameter sweeps reuse one compiled program + device planes."""
+        return np.asarray(
+            [self.margin, self.mismatches, self.three_prime_match],
+            dtype=np.int32,
+        )
+
     @staticmethod
     def _pick_tile_len(total_scan: int) -> int:
         for b in TILE_LEN_BUCKETS:
@@ -229,7 +242,8 @@ class MerPCR:
             from .parallel.sharded import sharded_scan_record
 
             sout, n_shards, tps = sharded_scan_record(
-                cfg0, self._table, seq, self.wordsize, self.mesh
+                cfg0, self._table, seq, self.wordsize, self.mesh,
+                rt=self._runtime_params(),
             )
             # flatten (shards, tiles, ...) -> (shards*tiles, ...); global
             # tile index = shard*tps + t keeps single-device ordering
@@ -275,6 +289,7 @@ class MerPCR:
                     np.int32(g * G * L),
                     np.int32(total_scan),
                     np.int32(n),
+                    self._runtime_params(),
                 )
                 for g in range(n_groups)
             ]
@@ -378,6 +393,7 @@ class MerPCR:
             np.int32(tile_start),
             np.int32(n_scan),
             np.int32(n),
+            self._runtime_params(),
         )
 
     def search(

@@ -57,9 +57,9 @@ class ScanConfig:
     """Static (compile-time) scan parameters."""
 
     wordsize: int
-    margin: int  # -M (reference engine.py:22, cli.py:137-143)
-    mismatches: int  # -N
-    three_prime_match: int  # -X
+    margin: int  # margin CAP: sets window shapes; the actual -M value (and
+    #              -N / -X, which affect no shapes) are RUNTIME scalars, so
+    #              parameter sweeps share one compiled program
     iupac: bool  # -I: verify via 256x256 LUT; else arithmetic case-fold
     packed: bool  # genome shipped as 4-bit nibbles, 2 bases/byte
     pair_bloom: bool  # one occupancy lookup per two positions (sparse tables)
@@ -152,11 +152,14 @@ def _scan_tile(
     tile_start: jnp.ndarray,  # int32 scalar: global scan pos of local index 0
     n_scan: jnp.ndarray,  # int32 scalar: valid scan positions (<= tile_len)
     record_len: jnp.ndarray,  # int32 scalar: global record length
+    rt: jnp.ndarray,  # int32[3]: runtime (-M margin <= cap, -N, -X)
 ) -> ScanOut:
     """Scan one tile; padding tiles (n_scan <= 0) short-circuit via cond."""
     return jax.lax.cond(
         n_scan > 0,
-        lambda: _scan_tile_impl(cfg, table, tile_bytes, tile_start, n_scan, record_len),
+        lambda: _scan_tile_impl(
+            cfg, table, tile_bytes, tile_start, n_scan, record_len, rt
+        ),
         lambda: _empty_out(cfg),
     )
 
@@ -168,6 +171,8 @@ def _scan_tile_impl(
     tile_start: jnp.ndarray,
     n_scan: jnp.ndarray,
     record_len: jnp.ndarray,
+    rt=None,  # int32[3] runtime (margin, mismatches, three_prime); None ->
+    #           (cap, 0, 1) — only used by profiling harnesses
     stop: str | None = None,  # profiling hook: truncate after a stage
 ) -> ScanOut:
     def _stopped(*vals):
@@ -180,9 +185,10 @@ def _scan_tile_impl(
     L = cfg.tile_len
     LEAD = cfg.lead
     TB = cfg.tile_buf
-    X = cfg.three_prime_match
-    NMM = cfg.mismatches
-    M = cfg.margin
+    M = cfg.margin  # shape cap
+    if rt is None:
+        rt = jnp.asarray([M, 0, 1], dtype=jnp.int32)
+    Mdyn, NMM, X = rt[0], rt[1], rt[2]
     R = cfg.n_ranks
     E = table.hash_offset.shape[0]
     U = table.uhash.shape[0]
@@ -451,8 +457,8 @@ def _scan_tile_impl(
     actual = record_len - ak  # engine.py:528
     clamped = exp0 > actual
     exp = jnp.where(clamped, actual, exp0)  # engine.py:531-535
-    hi = jnp.where(clamped, 0, jnp.minimum(M, record_len - ak - exp))
-    lo = jnp.clip(jnp.minimum(M, exp - al1 - al2), 0)  # engine.py:538-540
+    hi = jnp.where(clamped, 0, jnp.minimum(Mdyn, record_len - ak - exp))
+    lo = jnp.clip(jnp.minimum(Mdyn, exp - al1 - al2), 0)  # engine.py:538-540
 
     # rank r -> window offset d: r=0 -> 0; odd r -> -(r+1)//2; even r -> r//2
     # (expected first, then -1, +1, -2, +2, … — engine.py:543-593)
@@ -523,8 +529,10 @@ def _scan_tile_impl(
 def get_scan_fn(cfg: ScanConfig):
     """One compiled tile-scan function per static config."""
 
-    def f(table, tile_bytes, tile_start, n_scan, record_len):
-        return _scan_tile(cfg, table, tile_bytes, tile_start, n_scan, record_len)
+    def f(table, tile_bytes, tile_start, n_scan, record_len, rt):
+        return _scan_tile(
+            cfg, table, tile_bytes, tile_start, n_scan, record_len, rt
+        )
 
     return jax.jit(f)
 
@@ -547,18 +555,24 @@ def get_record_scan_fn(cfg: ScanConfig, n_tiles: int):
 
     stride = cfg.tile_len // 2 if cfg.packed else cfg.tile_len
 
-    def f(table, padded, start0, total_scan, record_len):
+    def f(table, padded, start0, total_scan, record_len, rt):
         def body(t):
             tb = jax.lax.dynamic_slice(padded, (t * stride,), (cfg.tile_buf_in,))
             gstart = start0 + t * cfg.tile_len
             n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
-            return _scan_tile(cfg, table, tb, gstart, n_scan, record_len)
+            return _scan_tile(cfg, table, tb, gstart, n_scan, record_len, rt)
 
         # sequential map: measured faster than vmap here (the L-wide hash /
         # bloom stages batch poorly; the backend stages are already small)
         return jax.lax.map(body, jnp.arange(n_tiles, dtype=jnp.int32))
 
     return jax.jit(f)
+
+
+def margin_cap(margin: int) -> int:
+    """Shape cap for a runtime margin: next multiple of 64, so nearby
+    margins (e.g. a 50..100 sweep) share one compiled program."""
+    return max(64, -(-margin // 64) * 64)
 
 
 def default_config(
@@ -585,10 +599,12 @@ def default_config(
     tile that still overflows is retried with escalated capacities, so
     undersizing costs a retry, never correctness.
     """
-    # lead/tail rounded to multiples of 8 (even: nibble packing needs even
-    # halos; rounding also coalesces compile configs across similar tables)
+    # The margin is a RUNTIME value; shapes use the bucketed cap so nearby
+    # margins share one compiled program AND one buffer geometry (device
+    # plane caches stay warm across parameter sweeps).
+    mcap = margin_cap(margin)
     lead = -(-lead // 8) * 8
-    tail = -(-(max_pcr_size + margin) // 8) * 8
+    tail = -(-(max_pcr_size + mcap) // 256) * 256
     # Candidate-unit expectation. Real bucket hits ~ L*E/4^W; pair mode adds
     # ~4 predecessor bits/key of false positives over L/2 pairs. Escalation
     # recompiles are far more expensive than slack capacity, so size with
@@ -611,9 +627,7 @@ def default_config(
     cand_cap = min(max(2048, int(1.3 * expect_cands) + 512), 4 * tile_len)
     return ScanConfig(
         wordsize=wordsize,
-        margin=margin,
-        mismatches=mismatches,
-        three_prime_match=three_prime_match,
+        margin=mcap,
         iupac=iupac,
         packed=packed,
         pair_bloom=pair_bloom,

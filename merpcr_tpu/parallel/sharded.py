@@ -40,7 +40,7 @@ def _get_sharded_fn(cfg: ScanConfig, n_shards: int, tiles_per_shard: int,
 
     stride = cfg.tile_len // 2 if cfg.packed else cfg.tile_len
 
-    def per_shard(table, padded, tile_start0, total_scan, record_len):
+    def per_shard(table, padded, tile_start0, total_scan, record_len, rt):
         padded = padded[0]  # (buf,)
         start0 = tile_start0[0]
 
@@ -48,21 +48,21 @@ def _get_sharded_fn(cfg: ScanConfig, n_shards: int, tiles_per_shard: int,
             tb = jax.lax.dynamic_slice(padded, (t * stride,), (cfg.tile_buf_in,))
             gstart = start0 + t * cfg.tile_len
             n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
-            return _scan_tile(cfg, table, tb, gstart, n_scan, record_len)
+            return _scan_tile(cfg, table, tb, gstart, n_scan, record_len, rt)
 
         out = jax.lax.map(body, jnp.arange(tiles_per_shard, dtype=jnp.int32))
         # (tiles, ...) -> gathered (n_shards, tiles, ...), replicated
         return jax.tree.map(lambda x: jax.lax.all_gather(x, axis), out)
 
-    def run(mesh, table, padded_shards, tile_start0, total_scan, record_len):
+    def run(mesh, table, padded_shards, tile_start0, total_scan, record_len, rt):
         fn = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(), P()),
+            in_specs=(P(), P(axis), P(axis), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
-        return fn(table, padded_shards, tile_start0, total_scan, record_len)
+        return fn(table, padded_shards, tile_start0, total_scan, record_len, rt)
 
     return jax.jit(run, static_argnums=0)
 
@@ -74,6 +74,7 @@ def sharded_scan_record(
     wordsize: int,
     mesh: Mesh,
     axis: str = "shard",
+    rt: np.ndarray | None = None,
 ):
     """Scan one record across a device mesh.
 
@@ -82,6 +83,8 @@ def sharded_scan_record(
     matching single-device tile ordering exactly.
     """
     n = len(seq)
+    if rt is None:
+        rt = np.asarray([cfg.margin, 0, 1], dtype=np.int32)
     total_scan = n - wordsize + 1
     n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     L = cfg.tile_len
@@ -109,5 +112,5 @@ def sharded_scan_record(
 
     fn = _get_sharded_fn(cfg, n_shards, tiles_per_shard, axis)
     out = fn(mesh, table, padded_shards, tile_start0,
-             np.int32(total_scan), np.int32(n))
+             np.int32(total_scan), np.int32(n), rt)
     return out, n_shards, tiles_per_shard
