@@ -139,6 +139,31 @@ def _encode_codes(tile_bytes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(is_letter, code, AMBIG)
 
 
+def _rank_invert(cnt: jnp.ndarray, cap_out: int):
+    """Invert a monotone rank map with one scatter-max + cummax instead of
+    a log-depth ``searchsorted`` (TPU gathers cost ~per-element, so
+    searchsorted over ``cap_out`` lanes pays log2 gathers per lane; this
+    pays ~2 memory ops per lane).
+
+    ``cnt``: int32[S] non-negative counts per source. Output slot q in
+    [0, sum(cnt)) belongs to the source i with
+    excl[i] <= q < excl[i] + cnt[i], where excl is the exclusive prefix
+    sum. Returns ``(src, excl_at_src)`` — both int32[cap_out]; entries at
+    q >= sum(cnt) are garbage (callers mask by total).
+    """
+    S = cnt.shape[0]
+    csum = jnp.cumsum(cnt)
+    excl = csum - cnt
+    # Scatter i+1 at excl[i] for every source with cnt>0 (their excl values
+    # are strictly increasing, hence unique); empty sources go to the
+    # out-of-bounds dump slot and are dropped.
+    tgt = jnp.where(cnt > 0, excl, cap_out)
+    ids = jnp.arange(1, S + 1, dtype=jnp.int32)
+    seed = jnp.zeros((cap_out,), jnp.int32).at[tgt].max(ids, mode="drop")
+    src = jnp.clip(jax.lax.cummax(seed, axis=0) - 1, 0, S - 1)
+    return src, excl[src]
+
+
 def _empty_out(cfg: ScanConfig) -> ScanOut:
     z = jnp.int32(0)
     zh = jnp.zeros((cfg.hit_cap,), jnp.int32)
@@ -314,10 +339,9 @@ def _scan_tile_impl(
     # popcount prefix sums assign each output slot q its (word, rank), and
     # a 5-level binary search selects the rank-th set bit — all VPU ops.
     pc = jax.lax.population_count(wordsel).astype(jnp.int32)
-    cum = jnp.cumsum(pc)
     q = jax.lax.broadcasted_iota(jnp.int32, (cfg.cpos_cap,), 0)
-    wsel = jnp.clip(jnp.searchsorted(cum, q, side="right"), 0, cfg.cpos_cap - 1)
-    r = q - (cum[wsel] - pc[wsel])
+    wsel, wexcl = _rank_invert(pc, cfg.cpos_cap)
+    r = q - wexcl
     wq = wordsel[wsel]
     b = jnp.zeros_like(r)
     for half in (16, 8, 4, 2, 1):
@@ -336,9 +360,14 @@ def _scan_tile_impl(
     def exact_csr(hq, mask):
         """Exact bucket lookup; returns (start, count).
 
-        W <= 12: one gather into the dense bucket_start table. Larger W:
-        log2(U)-step binary search over sorted unique hashes."""
-        if W <= 12:  # table.bstart has 4^W + 1 entries
+        W <= 11: ONE row gather into the dense (start, count) pair table
+        (gather cost is per row — tools/gather_microbench2.py). W == 12:
+        two gathers into bucket_start. Larger W: log2(U)-step binary
+        search over sorted unique hashes."""
+        if W <= 11:  # table.bsc is (4^W, 2) [start, count] rows
+            sc = table.bsc[hq.astype(jnp.int32)]
+            return sc[:, 0], jnp.where(mask, sc[:, 1], 0)
+        if W == 12:  # table.bstart has 4^W + 1 entries
             hi = hq.astype(jnp.int32)
             start = table.bstart[hi]
             cnt = jnp.where(mask, table.bstart[hi + 1] - start, 0)
@@ -370,13 +399,11 @@ def _scan_tile_impl(
         s_e, c_e = exact_csr(he[cpos], pv_e[cpos] & cvalid)
         s_o, c_o = exact_csr(ho[cpos], pv_o[cpos] & cvalid)
         cnt = c_e + c_o
-        csum = jnp.cumsum(cnt)
-        pair_total = csum[-1]
+        pair_total = jnp.sum(cnt)
         j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
-        src = jnp.searchsorted(csum, j, side="right")
+        srcc, jexcl = _rank_invert(cnt, cfg.cand_cap)
         pair_valid = j < pair_total
-        srcc = jnp.clip(src, 0, cfg.cpos_cap - 1)
-        slot = j - (csum[srcc] - cnt[srcc])
+        slot = j - jexcl
         is_odd = slot >= c_e[srcc]
         entry = jnp.clip(
             jnp.where(is_odd, s_o[srcc] + slot - c_e[srcc], s_e[srcc] + slot),
@@ -393,27 +420,52 @@ def _scan_tile_impl(
         else:
             hc = h[cpos]
         start, cnt = exact_csr(hc, cvalid)
-        csum = jnp.cumsum(cnt)
-        pair_total = csum[-1]
+        pair_total = jnp.sum(cnt)
         j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
-        src = jnp.searchsorted(csum, j, side="right")
+        srcc, jexcl = _rank_invert(cnt, cfg.cand_cap)
         pair_valid = j < pair_total
-        srcc = jnp.clip(src, 0, cfg.cpos_cap - 1)
-        slot = j - (csum[srcc] - cnt[srcc])
+        slot = j - jexcl
         entry = jnp.clip(start[srcc] + slot, 0, E - 1)
         ppos = cpos[srcc]  # local scan position of each unit
         if stop == "expand":
             return _stopped(entry, ppos)
 
     # ---- 6. primer1 verify (reference engine.py:486-515, 599-642 '+') -----
-    hoff = table.hash_offset[entry]
+    em = table.emeta[entry]  # one row gather for all per-entry scalars
+    hoff = em[:, 0]
     kg = tile_start + ppos - hoff  # global anchor
     kl = ppos - hoff + LEAD  # local buffer index of anchor
-    l1 = table.p1_len[entry]
+    l1 = em[:, 1]
     inb = (kg >= 0) & (kg + l1 <= record_len)  # engine.py:487
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap, cfg.p1_max), 1)
-    sb = plane_at(kl[:, None] + ii)
+    if cfg.packed and TB % 32 == 0:
+        # Row-gather verify: fetch the whole primer window as NR 16-byte
+        # rows (per-ROW gather cost), then byte barrel-shift + nibble
+        # interleave in lanes — replaces p1_max per-element gathers.
+        RB = 16
+        rows2d = tile_bytes.reshape(TB // 2 // RB, RB)
+        spanb = cfg.p1_max // 2 + 1
+        NR = -(-(RB - 1 + spanb) // RB)
+        byte0 = kl >> 1
+        row0 = byte0 >> 4
+        g = rows2d[
+            row0[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, NR), 1)
+        ]
+        x = g.reshape(cfg.cand_cap, NR * RB).astype(jnp.int32)
+        boff = (byte0 & (RB - 1))[:, None]
+        for k in (8, 4, 2, 1):  # barrel rotate left by boff bytes
+            x = jnp.where((boff & k) != 0, jnp.roll(x, -k, axis=1), x)
+        il = jnp.stack([x & 15, x >> 4], axis=-1).reshape(
+            cfg.cand_cap, 2 * NR * RB
+        )
+        sb = jnp.where(
+            ((kl & 1) == 0)[:, None],
+            il[:, : cfg.p1_max],
+            il[:, 1 : cfg.p1_max + 1],
+        )
+    else:
+        sb = plane_at(kl[:, None] + ii)
     if cfg.packed:
         pb = table.p1_codes[entry].astype(jnp.int32)
         if cfg.iupac:
@@ -447,11 +499,12 @@ def _scan_tile_impl(
     ak = kg[a_idx]
     aentry = entry[a_idx]
     al1 = l1[a_idx]
-    al2 = table.p2_len[aentry]
+    aem = table.emeta[aentry]
+    al2 = aem[:, 2]
     aorder = a_idx  # pair index == within-tile emission major key
 
     # ---- 7. margin-window primer2 verify (engine.py:517-593) --------------
-    exp0 = table.pcr_size[aentry]
+    exp0 = aem[:, 3]
     avail = record_len - (ak + al1)
     room = avail >= al2  # engine.py:524-525
     actual = record_len - ak  # engine.py:528
@@ -602,8 +655,10 @@ def default_config(
     # The margin is a RUNTIME value; shapes use the bucketed cap so nearby
     # margins share one compiled program AND one buffer geometry (device
     # plane caches stay warm across parameter sweeps).
+    # lead rounded to 32 positions = 16 packed bytes, so the tile buffer
+    # reshapes exactly into the verify stage's 16-byte rows.
     mcap = margin_cap(margin)
-    lead = -(-lead // 8) * 8
+    lead = -(-lead // 32) * 32
     tail = -(-(max_pcr_size + mcap) // 256) * 256
     # Candidate-unit expectation. Real bucket hits ~ L*E/4^W; pair mode adds
     # ~4 predecessor bits/key of false positives over L/2 pairs. Escalation

@@ -46,6 +46,13 @@ class DeviceTable(NamedTuple):
     # dense CSR (W <= 12): bucket_start[4^W + 1] — exact lookup is ONE
     # gather instead of a log2(U)-step binary search; dummy [0,0] otherwise
     bstart: jnp.ndarray  # int32[4^W + 1] | int32[2]
+    # W <= 11 only: (start, count) pairs as 2-wide rows — a TPU gather's
+    # cost is per ROW, not per element (tools/gather_microbench2.py), so
+    # one row gather replaces the bstart[h] + bstart[h+1] pair
+    bsc: jnp.ndarray  # int32[4^W, 2] | int32[1, 2]
+    # per-entry scalars packed into one 8-wide row (same per-row insight):
+    # [hash_offset, p1_len, p2_len, pcr_size, 0, 0, 0, 0]
+    emeta: jnp.ndarray  # int32[E, 8]
     hash_offset: jnp.ndarray  # int32[E]
     p1_len: jnp.ndarray  # int32[E]
     p2_len: jnp.ndarray  # int32[E]
@@ -162,6 +169,17 @@ def compile_table(
         np.cumsum(bstart, out=bstart)
     else:
         bstart = np.zeros(2, dtype=np.int32)
+    if wordsize <= 11:  # (start, count) rows; 32 MB at W=11 — skip at W=12
+        bsc = np.stack([bstart[:-1], np.diff(bstart)], axis=1).astype(np.int32)
+        bstart = np.zeros(2, dtype=np.int32)  # superseded by bsc
+    else:
+        bsc = np.zeros((1, 2), dtype=np.int32)
+
+    emeta = np.zeros((max(E, 1), 8), dtype=np.int32)
+    emeta[:, 0] = col(res.hash_offsets)
+    emeta[:, 1] = col(res.p1_lens)
+    emeta[:, 2] = col(res.p2_lens)
+    emeta[:, 3] = col(res.pcr_sizes, pad=1)
 
     table = DeviceTable(
         scode=jnp.asarray(SCODE),
@@ -170,6 +188,8 @@ def compile_table(
         uhash=jnp.asarray(uhash_dev),
         ustart=jnp.asarray(ustart_dev),
         bstart=jnp.asarray(bstart),
+        bsc=jnp.asarray(bsc),
+        emeta=jnp.asarray(emeta),
         hash_offset=jnp.asarray(col(res.hash_offsets)),
         p1_len=jnp.asarray(col(res.p1_lens)),
         p2_len=jnp.asarray(col(res.p2_lens)),

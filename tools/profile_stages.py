@@ -32,6 +32,7 @@ L = 1 << LOG2L
 cfg = S.default_config(
     11, 50, 0, 1, meta.lead, res.max_pcr_size, meta.p1_max,
     meta.p2_max, meta.bloom_bits, tile_len=L, n_entries=meta.n_entries,
+    pair_bloom=meta.pair_bloom,
 )
 print(f"n_sts={N_STS} L=2^{LOG2L} packed={cfg.packed} pair_bloom={cfg.pair_bloom}")
 print("caps:", cfg.cpos_cap, cfg.cand_cap, cfg.anch_cap, cfg.hit_cap)
