@@ -169,7 +169,9 @@ class MerPCR:
             n_entries=m.n_entries,
             iupac=bool(self.iupac_mode),
             packed=packed,
-            pair_bloom=m.pair_bloom,
+            stride=m.stride,
+            qbloom_bits=m.qbloom_bits,
+            n_unique=m.n_unique,
         )
 
     @staticmethod

@@ -4,16 +4,19 @@ engine.py:507-597 `_match_sts`, engine.py:599-642 `_compare_seqs`).
 
 Design (array program, everything static-shaped and jit-compiled once):
 
-  tile bytes (uint8[TB], halo-padded)
-    │ 1. arithmetic 2-bit encode (no gather; exact scode semantics)
-    │ 2. rolling W-mer hash + ambiguity-window validity as W shifted ORs
-    │ 3. bucket-occupancy bitmask gather (512 KB @ W=11 — cache resident)
+  tile bytes (uint8[TB], halo-padded; packed = 2 bases/byte)
+    │ 1. stride-S group decode: consecutive tap-unit slices build a 32-bit
+    │    MSB-first group value (+ spill) — no rolling hash, no strided
+    │    relayouts; per-phase W-mer hashes derive arithmetically
+    │ 2. ambiguity masks aligned with the code bits (dirty base -> 11)
+    │ 3. ONE mult-hashed bloom lookup per S positions (S=4 sparse, 2 dense)
     ▼
-  compacted candidate positions (nonzero, cap CPOS)
-    │ 4. exact CSR lookup: searchsorted over sorted unique hashes
-    │ 5. (pos, slot) pair expansion via searchsorted over count prefix sums
+  compacted candidate groups (word-bitpack + scatter-max rank inversion)
+    │ 4. exact per-phase CSR: (start,count) as one 2-wide row gather
+    │ 5. (group, phase, slot) expansion via scatter-max rank inversion
     ▼
-  candidate pairs (cap CAND) ── 6. primer1 verify: match-matrix gather,
+  candidate pairs (cap CAND) ── 6. primer1 verify: 16-byte row gathers +
+    │                              byte barrel shift + nibble interleave;
     │                              mismatch budget + 3' tail protection
     ▼
   anchors (nonzero, cap ANCH) ─ 7. margin-window primer2 verify over all
@@ -62,7 +65,8 @@ class ScanConfig:
     #              parameter sweeps share one compiled program
     iupac: bool  # -I: verify via 256x256 LUT; else arithmetic case-fold
     packed: bool  # genome shipped as 4-bit nibbles, 2 bases/byte
-    pair_bloom: bool  # one occupancy lookup per two positions (sparse tables)
+    stride: int  # packed path: scan positions covered per bloom lookup (2|4)
+    qbloom_bits: int  # log2 bits of the mult-hashed group bloom
     tile_len: int  # scan positions per tile (L)
     lead: int  # left halo bytes  = max hash_offset over entries
     tail: int  # right halo bytes = max_pcr_size + margin
@@ -90,10 +94,11 @@ class ScanConfig:
 
     def escalate(self, factor: int = 4) -> "ScanConfig":
         """Larger capacities for tiles that overflow the fixed buffers."""
+        units = self.tile_len // self.stride if self.packed else self.tile_len
         return ScanConfig(
             **{
                 **self.__dict__,
-                "cpos_cap": min(self.cpos_cap * factor, self.tile_len),
+                "cpos_cap": min(self.cpos_cap * factor, units),
                 "cand_cap": self.cand_cap * factor,
                 "anch_cap": self.anch_cap * factor,
                 "hit_cap": self.hit_cap * factor,
@@ -227,82 +232,90 @@ def _scan_tile_impl(
 
     NW = L // 32
     if cfg.packed:
-        # Dual-parity streams: nibbles stay in packed layout (no interleave
-        # relayout). Even positions live in low nibbles, odd in high; the
-        # rolling hash is computed as two half-rate streams whose W window
-        # taps alternate between the two nibble planes.
-        b = tile_bytes.astype(jnp.int32)
-        En, On = b & 15, b >> 4
-        Ec = jnp.where(En < 4, En, 0).astype(jnp.uint32)
-        Oc = jnp.where(On < 4, On, 0).astype(jnp.uint32)
-        Ea, Oa = En >= 4, On >= 4
-        H = L // 2
-        j0 = LEAD // 2
-        he = jnp.zeros((H,), jnp.uint32)
-        ho = jnp.zeros((H,), jnp.uint32)
-        ae = jnp.zeros((H,), jnp.bool_)
-        ao = jnp.zeros((H,), jnp.bool_)
-        for i in range(W):
-            if i % 2 == 0:  # even offset: even stream taps E, odd taps O
-                se, me = Ec, Ea
-                so, mo = Oc, Oa
-                offe = offo = j0 + i // 2
-            else:  # odd offset: even stream taps O, odd stream taps next E
-                se, me = Oc, Oa
-                so, mo = Ec, Ea
-                offe = j0 + (i - 1) // 2
-                offo = j0 + (i + 1) // 2
-            he = (he << 2) | jax.lax.dynamic_slice(se, (offe,), (H,))
-            ho = (ho << 2) | jax.lax.dynamic_slice(so, (offo,), (H,))
-            ae = ae | jax.lax.dynamic_slice(me, (offe,), (H,))
-            ao = ao | jax.lax.dynamic_slice(mo, (offo,), (H,))
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (H,), 0)
-        pv_e = (~ae) & (2 * lane2 < n_scan)
-        pv_o = (~ao) & (2 * lane2 + 1 < n_scan)
-        if stop == "hash":
-            return _stopped(he, ho, pv_e, pv_o)
-        if cfg.pair_bloom:
-            # ONE bloom lookup covers the whole pair: the table holds each
-            # bucket key plus its four predecessor W-mers (see table.py),
-            # so testing the even position's W-mer detects candidates at
-            # either parity. When only the odd position has a valid window
-            # (ambiguity boundary), its own W-mer is tested instead — also
-            # exact, since bucket keys themselves are in the table.
-            key = jnp.where(pv_e, he, ho)
-            flag = bloom_flag(key, pv_e | pv_o)
-            if stop == "bloom":
-                return _stopped(flag)
-            c_total = jnp.sum(flag.astype(jnp.int32))  # candidate PAIRS
-            NWU = H // 32
-            fb = flag.reshape(NWU, 32).astype(jnp.uint32)
-            wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
-            words = jnp.sum(fb << wbits, axis=1, dtype=jnp.uint32)
+        # Stride-S front end: ONE mult-hashed bloom lookup covers S scan
+        # positions. The packed plane is decoded once per tap UNIT (byte =
+        # 2 bases for S=2; uint16 = 4 bases for S=4, via a free bitcast —
+        # group starts are unit-aligned, so taps are CONSECUTIVE unit
+        # slices and no strided relayout is ever needed; a stride-2 slice
+        # costs as much as a gather, tools/gather_microbench3.py). A
+        # 32-bit MSB-first group value A (+ spill B2 for 2(W+S-1) > 32) is
+        # built from the taps; each phase's exact W-mer hash is derived
+        # from (A, B2) arithmetically — there is no rolling hash at all.
+        #
+        # The bloom key is the group's first NB = min(16, W+S-1) bases;
+        # table.py inserts, for every bucket key K and phase d, all NB-base
+        # strings that contain K at offset d (prefixes x suffixes; K's own
+        # prefix when the window is truncated at NB). A hit therefore
+        # means "some phase of this group MAY anchor a bucket key"; the
+        # per-phase exact CSR below removes all false positives, so this
+        # stage only ever over-approximates (never drops) candidates.
+        S_ = cfg.stride
+        UB = 4 if S_ == 4 else 2  # bases per tap unit
+        Q = L // S_  # groups per tile
+        NB = min(16, W + S_ - 1)
+        TFULL = -(-(W + S_ - 1) // UB)
+        TA = 32 // (2 * UB)  # taps that fit in A
+
+        if UB == 4:
+            units = jax.lax.bitcast_convert_type(
+                tile_bytes.reshape(-1, 2), jnp.uint16
+            ).astype(jnp.uint32)
         else:
-            # dense tables: per-position lookups (no predecessor FPs);
-            # parity streams are bit-interleaved back into canonical
-            # 32-position words with a Morton spread
-            flag_e = bloom_flag(he, pv_e)
-            flag_o = bloom_flag(ho, pv_o)
-            if stop == "bloom":
-                return _stopped(flag_e, flag_o)
-            c_total = jnp.sum(flag_e.astype(jnp.int32)) + jnp.sum(
-                flag_o.astype(jnp.int32)
-            )
-            NWU = L // 32
-            bits16 = jax.lax.broadcasted_iota(jnp.uint32, (1, 16), 1)
-            we = jnp.sum(flag_e.reshape(NWU, 16).astype(jnp.uint32) << bits16,
-                         axis=1, dtype=jnp.uint32)
-            wo = jnp.sum(flag_o.reshape(NWU, 16).astype(jnp.uint32) << bits16,
-                         axis=1, dtype=jnp.uint32)
+            units = tile_bytes.astype(jnp.uint32)
+        # MSB-first 2-bit codes per unit; amb bits aligned with the codes
+        # (dirty base -> its 2 code bits are garbage, its amb bits are 11)
+        tv = jnp.zeros_like(units)
+        av = jnp.zeros_like(units)
+        for k in range(UB):  # base k of a unit lives in nibble k (LSB first)
+            nib = (units >> (4 * k)) & 15
+            sh = 2 * (UB - 1 - k)
+            tv = tv | ((nib & 3) << sh)
+            av = av | jnp.where(nib >= 4, jnp.uint32(3) << sh, jnp.uint32(0))
 
-            def spread(x):  # 16 bits -> even bit positions of 32
-                x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
-                x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
-                x = (x | (x << 2)) & jnp.uint32(0x33333333)
-                x = (x | (x << 1)) & jnp.uint32(0x55555555)
-                return x
+        u0 = LEAD // UB
+        A = jnp.zeros((Q,), jnp.uint32)
+        Aa = jnp.zeros((Q,), jnp.uint32)
+        B2 = jnp.zeros((Q,), jnp.uint32)
+        B2a = jnp.zeros((Q,), jnp.uint32)
+        for j in range(min(TFULL, TA)):
+            sh = 32 - 2 * UB * (j + 1)
+            A = A | (jax.lax.dynamic_slice(tv, (u0 + j,), (Q,)) << sh)
+            Aa = Aa | (jax.lax.dynamic_slice(av, (u0 + j,), (Q,)) << sh)
+        for j in range(TA, TFULL):
+            sh = 64 - 2 * UB * (j + 1)
+            B2 = B2 | (jax.lax.dynamic_slice(tv, (u0 + j,), (Q,)) << sh)
+            B2a = B2a | (jax.lax.dynamic_slice(av, (u0 + j,), (Q,)) << sh)
 
-            words = spread(we) | (spread(wo) << 1)
+        def phase_h(A_, B2_, d):
+            """The W-mer value at phase d (bases d..d+W-1), in low 2W bits."""
+            x = A_ if d == 0 else ((A_ << (2 * d)) | (B2_ >> (32 - 2 * d)))
+            return x >> (32 - 2 * W)
+
+        V = A >> (32 - 2 * NB)
+        vclean = (Aa >> (32 - 2 * NB)) == 0
+        glane = jax.lax.broadcasted_iota(jnp.int32, (Q,), 0)
+        pv_any = jnp.zeros((Q,), jnp.bool_)
+        for d in range(S_):
+            pcl = phase_h(Aa, B2a, d) == 0
+            pv_any = pv_any | (pcl & (glane * S_ + d < n_scan))
+        if stop == "hash":
+            return _stopped(A, Aa, V, pv_any)
+
+        hq = (V * jnp.uint32(0x9E3779B1)) >> (32 - cfg.qbloom_bits)
+        qword = table.qbloom[(hq >> 5).astype(jnp.int32)]
+        hit = ((qword >> (hq & 31)) & 1) == 1
+        # Groups whose NB-base span contains an ambiguous base skip the
+        # bloom (its key would be garbage) and go straight to the exact
+        # per-phase CSR — rare, and the phase validity masks there are
+        # exact, so this only costs capacity near ambiguity runs.
+        flag = pv_any & (hit | ~vclean)
+        if stop == "bloom":
+            return _stopped(flag)
+        c_total = jnp.sum(flag.astype(jnp.int32))  # candidate GROUPS
+        NWU = Q // 32
+        fb = flag.reshape(NWU, 32).astype(jnp.uint32)
+        wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+        words = jnp.sum(fb << wbits, axis=1, dtype=jnp.uint32)
     else:
         codes = _encode_codes(tile_bytes)
         isamb = codes == AMBIG
@@ -393,32 +406,42 @@ def _scan_tile_impl(
         def plane_at(idx):
             return tile_bytes[jnp.clip(idx, 0, TB - 1)].astype(jnp.int32)
 
-    if cfg.packed and cfg.pair_bloom:
-        # each compacted pair contributes the even position's bucket
-        # candidates first, then the odd position's — scan order
-        s_e, c_e = exact_csr(he[cpos], pv_e[cpos] & cvalid)
-        s_o, c_o = exact_csr(ho[cpos], pv_o[cpos] & cvalid)
-        cnt = c_e + c_o
+    if cfg.packed:
+        # Each compacted group contributes its phases' bucket candidates in
+        # phase order d = 0..S-1 (ascending scan position — the emission-
+        # order contract). Phase hashes come from the gathered (A, B2)
+        # group state arithmetically; validity is re-derived per phase.
+        Ac, B2c = A[cpos], B2[cpos]
+        Aac, B2ac = Aa[cpos], B2a[cpos]
+        sts, cns = [], []
+        for d in range(S_):
+            phh = phase_h(Ac, B2c, d)
+            pcl = phase_h(Aac, B2ac, d) == 0
+            m = cvalid & pcl & (cpos * S_ + d < n_scan)
+            st_d, cn_d = exact_csr(phh, m)
+            sts.append(st_d)
+            cns.append(cn_d)
+        cnt = sum(cns)
         pair_total = jnp.sum(cnt)
         j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
         srcc, jexcl = _rank_invert(cnt, cfg.cand_cap)
         pair_valid = j < pair_total
         slot = j - jexcl
-        is_odd = slot >= c_e[srcc]
-        entry = jnp.clip(
-            jnp.where(is_odd, s_o[srcc] + slot - c_e[srcc], s_e[srcc] + slot),
-            0,
-            E - 1,
-        )
-        ppos = cpos[srcc] * 2 + is_odd.astype(jnp.int32)
+        entry = jnp.zeros((cfg.cand_cap,), jnp.int32)
+        ph_of = jnp.zeros((cfg.cand_cap,), jnp.int32)
+        prev = jnp.zeros((cfg.cand_cap,), jnp.int32)
+        for d in range(S_):
+            cn = cns[d][srcc]
+            inphase = (slot >= prev) & (slot < prev + cn)
+            entry = jnp.where(inphase, sts[d][srcc] + slot - prev, entry)
+            ph_of = jnp.where(inphase, d, ph_of)
+            prev = prev + cn
+        entry = jnp.clip(entry, 0, E - 1)
+        ppos = cpos[srcc] * S_ + ph_of
         if stop == "expand":
             return _stopped(entry, ppos)
     else:
-        if cfg.packed:  # per-position units with parity-selected hashes
-            ct = cpos >> 1
-            hc = jnp.where((cpos & 1) == 0, he[ct], ho[ct])
-        else:
-            hc = h[cpos]
+        hc = h[cpos]
         start, cnt = exact_csr(hc, cvalid)
         pair_total = jnp.sum(cnt)
         j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
@@ -642,7 +665,9 @@ def default_config(
     n_entries: int = 0,
     iupac: bool = False,
     packed: bool = True,
-    pair_bloom: bool = True,
+    stride: int = 2,
+    qbloom_bits: int = 22,
+    n_unique: int = 0,
 ) -> ScanConfig:
     """Capacity heuristics.
 
@@ -665,13 +690,17 @@ def default_config(
     # recompiles are far more expensive than slack capacity, so size with
     # ~1.6x headroom over the estimate.
     E = max(n_entries, 1)
+    E1 = max(n_unique, 1)
     p_real = E / float(4**wordsize)
     # the occupancy bitmask is exact when it covers all 2W hash bits;
     # truncation false positives only exist for W > bloom_bits/2
     trunc_fp = E / float(1 << bloom_bits) if bloom_bits < 2 * wordsize else 0.0
-    if packed and pair_bloom:
-        p_unit = 2 * p_real + 4 * E / float(1 << bloom_bits) + 2 * trunc_fp
-        units = tile_len // 2
+    if packed:
+        # group flagged if mult-hash FP or any of its S phases is a real
+        # bucket key (the per-phase CSR then rejects FPs exactly)
+        fp_q = min(1.0, stride * 4 ** (stride - 1) * E1 / float(1 << qbloom_bits))
+        p_unit = fp_q + min(1.0, stride * p_real)
+        units = tile_len // stride
     else:
         p_unit = p_real + trunc_fp
         units = tile_len
@@ -685,7 +714,8 @@ def default_config(
         margin=mcap,
         iupac=iupac,
         packed=packed,
-        pair_bloom=pair_bloom,
+        stride=stride,
+        qbloom_bits=qbloom_bits,
         tile_len=tile_len,
         lead=lead,
         tail=tail,

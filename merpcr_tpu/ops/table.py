@@ -40,7 +40,8 @@ class DeviceTable(NamedTuple):
 
     scode: jnp.ndarray  # int32[256]
     match: jnp.ndarray  # uint8[65536]   (256x256 flattened, [seq*256+primer])
-    bloom: jnp.ndarray  # uint32[2^bloom_bits / 32]
+    bloom: jnp.ndarray  # uint32[2^bloom_bits / 32]  (unpacked path)
+    qbloom: jnp.ndarray  # uint32[2^qbloom_bits / 32]  stride-group bloom
     uhash: jnp.ndarray  # uint32[U]      sorted unique hashes
     ustart: jnp.ndarray  # int32[U+1]    CSR offsets into entry arrays
     # dense CSR (W <= 12): bucket_start[4^W + 1] — exact lookup is ONE
@@ -74,7 +75,8 @@ class TableMeta:
     n_entries: int
     n_unique: int
     bloom_bits: int
-    pair_bloom: bool
+    stride: int  # packed front-end: positions per bloom lookup (2|4)
+    qbloom_bits: int
     p1_max: int
     p2_max: int
     lead: int  # max hash_offset over entries (tile left halo)
@@ -112,30 +114,57 @@ def compile_table(
     two_w = 2 * wordsize
     bloom_bits = min(two_w, MAX_BLOOM_BITS)
     shift = two_w - bloom_bits
+    # Exact key-occupancy bitmask (unpacked / raw-byte fallback path only;
+    # the packed path uses the stride-group qbloom below).
     bloom = np.zeros((1 << bloom_bits) // 32, dtype=np.uint32)
-    # Pair-level occupancy: one lookup covers two adjacent scan positions.
-    # For every bucket key k we set bits for k itself AND its four
-    # "predecessor" W-mers (c . k[:-1]) — the W-mer one position earlier in
-    # any sequence where k occurs next. The scan then tests only the even
-    # position's W-mer per pair: a set bit means position 2t (key k) and/or
-    # position 2t+1 (k is a predecessor of its W-mer) may anchor a match;
-    # the exact searchsorted stage removes the false positives.
-    #
-    # The predecessor bits cost ~4x extra false positives, which is a win
-    # only for sparse tables; above ~1.5% projected occupancy the scan
-    # falls back to one lookup per position (pair_bloom=False).
-    pair_bloom = (5 * max(len(uhash), 1)) / float(1 << bloom_bits) < 0.015
-    kk = uhash.astype(np.uint64)
-    if pair_bloom:
-        pred = (kk >> 2)[None, :] | (
-            np.arange(4, dtype=np.uint64)[:, None] << (two_w - 2)
-        )
-        keys = np.concatenate([kk[None, :], pred], axis=0).reshape(-1) >> shift
-    else:
-        keys = kk >> shift
+    keys = uhash.astype(np.uint64) >> shift
     np.bitwise_or.at(
         bloom, (keys >> 5).astype(np.int64), np.uint32(1) << (keys & 31).astype(np.uint32)
     )
+
+    # ---- stride-group bloom (packed path) ---------------------------------
+    # ONE mult-hashed lookup covers `stride` adjacent scan positions. The
+    # key is the aligned group's first NB bases; for every bucket key K and
+    # phase d we insert every NB-base string containing K (or, when the
+    # window truncates at NB, K's prefix) at offset d. The scan's per-phase
+    # exact CSR removes all false positives, so bits here can only
+    # over-approximate. Stride 4 when the false-positive rate stays small,
+    # else stride 2 (dense tables).
+    E1 = max(len(uhash), 1)
+
+    def _qbits(ins: int) -> int:
+        return int(np.clip(int(np.ceil(np.log2(max(ins, 1) / 0.015))), 20, 26))
+
+    qb4 = _qbits(256 * E1)
+    if (256 * E1) / float(1 << qb4) <= 0.05:
+        stride = 4
+        qbloom_bits = qb4
+    else:
+        stride = 2
+        qbloom_bits = _qbits(8 * E1)
+    NB = min(16, wordsize + stride - 1)
+    qbloom = np.zeros((1 << qbloom_bits) // 32, dtype=np.uint32)
+    GOLD = np.uint32(0x9E3779B1)
+    for d in range(stride):
+        o = min(wordsize, NB - d)  # bases of K inside the NB window
+        kpref = (uhash.astype(np.uint64) >> (2 * (wordsize - o))).astype(
+            np.uint64
+        )
+        npre = 1 << (2 * d)  # preceding-base variants
+        nsuf = 1 << (2 * (NB - d - o))  # following-base variants
+        v = (
+            (np.arange(npre, dtype=np.uint64)[:, None, None] << (2 * (NB - d)))
+            | (kpref[None, :, None] << (2 * (NB - d - o)))
+            | np.arange(nsuf, dtype=np.uint64)[None, None, :]
+        ).reshape(-1)
+        hq = ((v.astype(np.uint32) * GOLD) >> (32 - qbloom_bits)).astype(
+            np.uint64
+        )
+        np.bitwise_or.at(
+            qbloom,
+            (hq >> 5).astype(np.int64),
+            np.uint32(1) << (hq & 31).astype(np.uint32),
+        )
 
     p1_max = max(16, _round_up(int(res.p1_lens.max()) if E else 16, 8))
     p2_max = max(16, _round_up(int(res.p2_lens.max()) if E else 16, 8))
@@ -185,6 +214,7 @@ def compile_table(
         scode=jnp.asarray(SCODE),
         match=jnp.asarray(match_matrix(iupac_mode).reshape(-1)),
         bloom=jnp.asarray(bloom),
+        qbloom=jnp.asarray(qbloom),
         uhash=jnp.asarray(uhash_dev),
         ustart=jnp.asarray(ustart_dev),
         bstart=jnp.asarray(bstart),
@@ -205,7 +235,8 @@ def compile_table(
         n_entries=E,
         n_unique=len(uhash),
         bloom_bits=bloom_bits,
-        pair_bloom=pair_bloom,
+        stride=stride,
+        qbloom_bits=qbloom_bits,
         p1_max=p1_max,
         p2_max=p2_max,
         lead=int(res.hash_offsets.max()) if E else 0,

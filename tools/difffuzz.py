@@ -51,7 +51,7 @@ def mutate(rng, s, n_mut):
 
 
 def gen_case(rng, case_idx):
-    wordsize = rng.choice([5, 7, 11, 11, 11, 13])
+    wordsize = rng.choice([5, 7, 11, 11, 11, 13, 14, 16])
     margin = rng.choice([0, 5, 50, 50, 137])
     mismatches = rng.choice([0, 0, 1, 2])
     three_prime = rng.choice([0, 1, 1, 3])

@@ -32,9 +32,10 @@ L = 1 << LOG2L
 cfg = S.default_config(
     11, 50, 0, 1, meta.lead, res.max_pcr_size, meta.p1_max,
     meta.p2_max, meta.bloom_bits, tile_len=L, n_entries=meta.n_entries,
-    pair_bloom=meta.pair_bloom,
+    stride=meta.stride, qbloom_bits=meta.qbloom_bits, n_unique=meta.n_unique,
 )
-print(f"n_sts={N_STS} L=2^{LOG2L} packed={cfg.packed} pair_bloom={cfg.pair_bloom}")
+print(f"n_sts={N_STS} L=2^{LOG2L} packed={cfg.packed} "
+      f"stride={cfg.stride} qbits={cfg.qbloom_bits}")
 print("caps:", cfg.cpos_cap, cfg.cand_cap, cfg.anch_cap, cfg.hit_cap)
 rt = jnp.asarray([50, 0, 1], dtype=jnp.int32)
 
