@@ -155,6 +155,32 @@ def nib_match_matrix(iupac_mode: bool) -> np.ndarray:
     return out
 
 
+def iupac_exp_masks() -> tuple[np.ndarray, np.ndarray]:
+    """Bitmask formulation of the IUPAC match: 17-bit expansion masks over
+    the 16 expansion letters + 'X' (which the reference treats as a
+    non-IUPAC code matching only itself — match_matrix docstring), such
+    that nib_match_matrix(True)[s, p] == ((EXP_NIB[s] & EXP_PRIMER[p]) != 0).
+
+    Verified exhaustively by tests; lets the verify stages replace the
+    per-element 16x32 LUT gather with a few VPU select/and passes.
+    """
+    letters = sorted(set("".join(IUPAC_MAPPING.values()))) + ["X"]
+    bit = {c: 1 << i for i, c in enumerate(letters)}
+
+    def mask_of(ch: str) -> int:
+        if ch in IUPAC_MAPPING:
+            return sum(bit[c] for c in set(IUPAC_MAPPING[ch].upper()))
+        if ch == "X":
+            return bit["X"]
+        return 0  # unknown primer byte: never matches a genome letter
+
+    exp_nib = np.array([mask_of(c) for c in NIB_ALPHABET], dtype=np.uint32)
+    pcodes = [NIB_ALPHABET[p] if p < 16 else ("U" if p == 16 else "\x01")
+              for p in range(N_PRIMER_CODES)]
+    exp_primer = np.array([mask_of(c) for c in pcodes], dtype=np.uint32)
+    return exp_nib, exp_primer
+
+
 def pack_nibbles(nib: np.ndarray) -> np.ndarray:
     """Pack a 4-bit code array (even length) two-per-byte, low nibble first."""
     assert len(nib) % 2 == 0

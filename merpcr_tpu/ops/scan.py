@@ -51,8 +51,24 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .encoding import AMBIG
+from .encoding import AMBIG, iupac_exp_masks
 from .table import DeviceTable
+
+_EXP_NIB = iupac_exp_masks()[0]  # uint32[16] genome-letter expansion masks
+
+
+def _exp_nib_select(sb: jnp.ndarray) -> jnp.ndarray:
+    """EXP_NIB[sb] for 4-bit codes WITHOUT a gather: a 15-`where` binary
+    select tree over broadcast constants (pure VPU; a per-element LUT
+    gather here would dominate IUPAC-mode verify)."""
+    e = [jnp.uint32(int(v)) for v in _EXP_NIB]
+    sel = (sb & 1) != 0
+    lvl = [jnp.where(sel, e[i + 1], e[i]) for i in range(0, 16, 2)]
+    sel = (sb & 2) != 0
+    lvl = [jnp.where(sel, lvl[i + 1], lvl[i]) for i in range(0, 8, 2)]
+    sel = (sb & 4) != 0
+    lvl = [jnp.where(sel, lvl[i + 1], lvl[i]) for i in range(0, 4, 2)]
+    return jnp.where((sb & 8) != 0, lvl[1], lvl[0])
 
 
 @dataclass(frozen=True)
@@ -273,10 +289,11 @@ def _scan_tile_impl(
             av = av | jnp.where(nib >= 4, jnp.uint32(3) << sh, jnp.uint32(0))
 
         u0 = LEAD // UB
+        HAS_B2 = TFULL > TA  # spill word needed only when 2(W+S-1) > 32
         A = jnp.zeros((Q,), jnp.uint32)
         Aa = jnp.zeros((Q,), jnp.uint32)
-        B2 = jnp.zeros((Q,), jnp.uint32)
-        B2a = jnp.zeros((Q,), jnp.uint32)
+        B2 = jnp.zeros((Q,), jnp.uint32) if HAS_B2 else jnp.uint32(0)
+        B2a = jnp.zeros((Q,), jnp.uint32) if HAS_B2 else jnp.uint32(0)
         for j in range(min(TFULL, TA)):
             sh = 32 - 2 * UB * (j + 1)
             A = A | (jax.lax.dynamic_slice(tv, (u0 + j,), (Q,)) << sh)
@@ -285,10 +302,18 @@ def _scan_tile_impl(
             sh = 64 - 2 * UB * (j + 1)
             B2 = B2 | (jax.lax.dynamic_slice(tv, (u0 + j,), (Q,)) << sh)
             B2a = B2a | (jax.lax.dynamic_slice(av, (u0 + j,), (Q,)) << sh)
+        # group state packed into rows: the expand stage fetches all 2|4
+        # words per compacted group with ONE row gather
+        gstate = jnp.stack(
+            [A, Aa] + ([B2, B2a] if HAS_B2 else []), axis=-1
+        )
 
         def phase_h(A_, B2_, d):
             """The W-mer value at phase d (bases d..d+W-1), in low 2W bits."""
-            x = A_ if d == 0 else ((A_ << (2 * d)) | (B2_ >> (32 - 2 * d)))
+            if d == 0 or not HAS_B2:
+                x = A_ if d == 0 else (A_ << (2 * d))
+            else:
+                x = (A_ << (2 * d)) | (B2_ >> (32 - 2 * d))
             return x >> (32 - 2 * W)
 
         V = A >> (32 - 2 * NB)
@@ -409,10 +434,12 @@ def _scan_tile_impl(
     if cfg.packed:
         # Each compacted group contributes its phases' bucket candidates in
         # phase order d = 0..S-1 (ascending scan position — the emission-
-        # order contract). Phase hashes come from the gathered (A, B2)
-        # group state arithmetically; validity is re-derived per phase.
-        Ac, B2c = A[cpos], B2[cpos]
-        Aac, B2ac = Aa[cpos], B2a[cpos]
+        # order contract). Phase hashes come from the gathered group state
+        # arithmetically; validity is re-derived per phase.
+        gs = gstate[cpos]  # one row gather for A/Aa (+B2/B2a)
+        Ac, Aac = gs[:, 0], gs[:, 1]
+        B2c = gs[:, 2] if HAS_B2 else jnp.uint32(0)
+        B2ac = gs[:, 3] if HAS_B2 else jnp.uint32(0)
         sts, cns = [], []
         for d in range(S_):
             phh = phase_h(Ac, B2c, d)
@@ -427,13 +454,18 @@ def _scan_tile_impl(
         srcc, jexcl = _rank_invert(cnt, cfg.cand_cap)
         pair_valid = j < pair_total
         slot = j - jexcl
+        # per-phase (start, count) packed into one row per group, so the
+        # phase-selection pass needs a single row gather at srcc
+        stcn = jnp.stack(
+            [x for d in range(S_) for x in (sts[d], cns[d])], axis=-1
+        )[srcc]
         entry = jnp.zeros((cfg.cand_cap,), jnp.int32)
         ph_of = jnp.zeros((cfg.cand_cap,), jnp.int32)
         prev = jnp.zeros((cfg.cand_cap,), jnp.int32)
         for d in range(S_):
-            cn = cns[d][srcc]
+            cn = stcn[:, 2 * d + 1]
             inphase = (slot >= prev) & (slot < prev + cn)
-            entry = jnp.where(inphase, sts[d][srcc] + slot - prev, entry)
+            entry = jnp.where(inphase, stcn[:, 2 * d] + slot - prev, entry)
             ph_of = jnp.where(inphase, d, ph_of)
             prev = prev + cn
         entry = jnp.clip(entry, 0, E - 1)
@@ -490,10 +522,10 @@ def _scan_tile_impl(
     else:
         sb = plane_at(kl[:, None] + ii)
     if cfg.packed:
-        pb = table.p1_codes[entry].astype(jnp.int32)
-        if cfg.iupac:
-            m1 = table.nib_match[sb * 32 + pb] != 0
+        if cfg.iupac:  # expansion-set intersection, all-arithmetic
+            m1 = (_exp_nib_select(sb) & table.p1_exp[entry]) != 0
         else:  # genome nibble == primer code (codes >= 16 never match)
+            pb = table.p1_codes[entry].astype(jnp.int32)
             m1 = sb == pb
     else:
         pb = table.p1_bytes[entry].astype(jnp.int32)
@@ -563,10 +595,12 @@ def _scan_tile_impl(
     off = M + d[:, None] + i2  # static-range offsets in [0, span)
     sb2 = wb[:, off]  # [ANCH, R, P2MAX] gather with statically-known indices
     if cfg.packed:
-        pb2 = table.p2_codes[aentry].astype(jnp.int32)
-        if cfg.iupac:
-            m2 = table.nib_match[sb2 * 32 + pb2[:, None, :]] != 0
+        if cfg.iupac:  # expansion-set intersection, all-arithmetic
+            m2 = (
+                _exp_nib_select(sb2) & table.p2_exp[aentry][:, None, :]
+            ) != 0
         else:
+            pb2 = table.p2_codes[aentry].astype(jnp.int32)
             m2 = sb2 == pb2[:, None, :]
     else:
         pb2 = table.p2_bytes[aentry].astype(jnp.int32)

@@ -30,7 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.sts import STSLoadResult
-from .encoding import PRIMER_CODE_LUT, SCODE, match_matrix, nib_match_matrix
+from .encoding import (
+    PRIMER_CODE_LUT,
+    SCODE,
+    iupac_exp_masks,
+    match_matrix,
+    nib_match_matrix,
+)
 
 MAX_BLOOM_BITS = 24  # 2^24 bits = 2 MB; exact for W <= 12
 
@@ -65,6 +71,11 @@ class DeviceTable(NamedTuple):
     nib_match: jnp.ndarray  # uint8[512]
     p1_codes: jnp.ndarray  # uint8[E, P1MAX]
     p2_codes: jnp.ndarray  # uint8[E, P2MAX]
+    # IUPAC expansion bitmasks (iupac mode only; dummies otherwise):
+    # match(s,p) == (EXP_NIB[s] & p*_exp[p]) != 0 — primer side
+    # pre-expanded so verify needs one row gather + VPU ands
+    p1_exp: jnp.ndarray  # uint32[E, P1MAX] | uint32[1, 1]
+    p2_exp: jnp.ndarray  # uint32[E, P2MAX] | uint32[1, 1]
 
 
 @dataclass
@@ -166,6 +177,7 @@ def compile_table(
             np.uint32(1) << (hq & 31).astype(np.uint32),
         )
 
+    exp_nib, exp_primer = iupac_exp_masks()
     p1_max = max(16, _round_up(int(res.p1_lens.max()) if E else 16, 8))
     p2_max = max(16, _round_up(int(res.p2_lens.max()) if E else 16, 8))
 
@@ -229,6 +241,16 @@ def compile_table(
         nib_match=jnp.asarray(nib_match_matrix(iupac_mode).reshape(-1)),
         p1_codes=jnp.asarray(PRIMER_CODE_LUT[p1_bytes]),
         p2_codes=jnp.asarray(PRIMER_CODE_LUT[p2_bytes]),
+        p1_exp=jnp.asarray(
+            exp_primer[PRIMER_CODE_LUT[p1_bytes]]
+            if iupac_mode
+            else np.zeros((1, 1), np.uint32)
+        ),
+        p2_exp=jnp.asarray(
+            exp_primer[PRIMER_CODE_LUT[p2_bytes]]
+            if iupac_mode
+            else np.zeros((1, 1), np.uint32)
+        ),
     )
     meta = TableMeta(
         wordsize=wordsize,

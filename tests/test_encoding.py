@@ -119,3 +119,19 @@ def test_hash_value_bytes_matches_str_api():
 def test_reverse_complement_bytes():
     arr = encode_bytes("ACGTN")
     assert reverse_complement_bytes(arr).tobytes() == b"NACGT"
+
+
+def test_iupac_exp_masks_equivalent_to_nib_match():
+    """The bitmask formulation used by the packed verify stages must agree
+    with nib_match_matrix for EVERY (genome nibble, primer code) pair."""
+    from merpcr_tpu.ops.encoding import (
+        N_PRIMER_CODES,
+        iupac_exp_masks,
+        nib_match_matrix,
+    )
+
+    exp_nib, exp_primer = iupac_exp_masks()
+    want = nib_match_matrix(True)
+    got = (exp_nib[:, None] & exp_primer[None, :]) != 0
+    assert got.shape == (16, N_PRIMER_CODES)
+    assert (got == (want != 0)).all()
