@@ -171,6 +171,7 @@ class MerPCR:
             packed=packed,
             stride=m.stride,
             qbloom_bits=m.qbloom_bits,
+            exact_group=m.exact_group,
             n_unique=m.n_unique,
         )
 

@@ -81,8 +81,9 @@ class ScanConfig:
     #              parameter sweeps share one compiled program
     iupac: bool  # -I: verify via 256x256 LUT; else arithmetic case-fold
     packed: bool  # genome shipped as 4-bit nibbles, 2 bases/byte
-    stride: int  # packed path: scan positions covered per bloom lookup (2|4)
-    qbloom_bits: int  # log2 bits of the mult-hashed group bloom
+    stride: int  # packed path: scan positions covered per group lookup (2|4)
+    qbloom_bits: int  # log2 bits of the group table
+    exact_group: bool  # direct-mapped exact group table vs mult-hash bloom
     tile_len: int  # scan positions per tile (L)
     lead: int  # left halo bytes  = max hash_offset over entries
     tail: int  # right halo bytes = max_pcr_size + margin
@@ -248,99 +249,139 @@ def _scan_tile_impl(
 
     NW = L // 32
     if cfg.packed:
-        # Stride-S front end: ONE mult-hashed bloom lookup covers S scan
-        # positions. The packed plane is decoded once per tap UNIT (byte =
-        # 2 bases for S=2; uint16 = 4 bases for S=4, via a free bitcast —
-        # group starts are unit-aligned, so taps are CONSECUTIVE unit
-        # slices and no strided relayout is ever needed; a stride-2 slice
-        # costs as much as a gather, tools/gather_microbench3.py). A
-        # 32-bit MSB-first group value A (+ spill B2 for 2(W+S-1) > 32) is
-        # built from the taps; each phase's exact W-mer hash is derived
-        # from (A, B2) arithmetically — there is no rolling hash at all.
+        # u32-unit front end. The packed nibble plane is bitcast to uint32
+        # "units" of 8 bases (base k of a unit in nibble k), and 2-bit
+        # codes are extracted with three mask-shift compaction steps —
+        # ~9 VPU ops per 8 bases vs ~26 for a per-nibble loop. Everything
+        # is LSB-first (base j of a value at bits [2j, 2j+2)), so each
+        # phase's W-mer bucket value is ONE shift-and of the group
+        # register and the group-table index is a mask of it; table.py
+        # compiles bucket keys and the group table under the same
+        # convention (see table._lsb_keys).
         #
-        # The bloom key is the group's first NB = min(16, W+S-1) bases;
-        # table.py inserts, for every bucket key K and phase d, all NB-base
-        # strings that contain K at offset d (prefixes x suffixes; K's own
-        # prefix when the window is truncated at NB). A hit therefore
-        # means "some phase of this group MAY anchor a bucket key"; the
-        # per-phase exact CSR below removes all false positives, so this
-        # stage only ever over-approximates (never drops) candidates.
+        # A group of S consecutive scan positions does ONE table lookup.
+        # With the exact direct-mapped table (cfg.exact_group) the bit is
+        # "some phase of this exact span value starts a bucket key" — no
+        # false positives. The mult-hash fallback (large W) only ever
+        # over-approximates; either way the per-phase exact CSR below
+        # removes false positives, so candidates are never dropped.
         S_ = cfg.stride
-        UB = 4 if S_ == 4 else 2  # bases per tap unit
-        Q = L // S_  # groups per tile
-        NB = min(16, W + S_ - 1)
-        TFULL = -(-(W + S_ - 1) // UB)
-        TA = 32 // (2 * UB)  # taps that fit in A
+        Q = L // S_  # groups per tile (one table lookup each)
+        P = 8 // S_  # groups (parities) per u32 unit
+        QP = Q // P  # groups per parity == u32 units in the scan span
+        span = W + S_ - 1
+        KB = span if cfg.exact_group else min(16, span)  # key bases
+        m2w = jnp.uint32(((1 << (2 * W)) - 1) & 0xFFFFFFFF)
+        m2kb = jnp.uint32(((1 << (2 * KB)) - 1) & 0xFFFFFFFF)
 
-        if UB == 4:
-            units = jax.lax.bitcast_convert_type(
-                tile_bytes.reshape(-1, 2), jnp.uint16
-            ).astype(jnp.uint32)
-        else:
-            units = tile_bytes.astype(jnp.uint32)
-        # MSB-first 2-bit codes per unit; amb bits aligned with the codes
-        # (dirty base -> its 2 code bits are garbage, its amb bits are 11)
-        tv = jnp.zeros_like(units)
-        av = jnp.zeros_like(units)
-        for k in range(UB):  # base k of a unit lives in nibble k (LSB first)
-            nib = (units >> (4 * k)) & 15
-            sh = 2 * (UB - 1 - k)
-            tv = tv | ((nib & 3) << sh)
-            av = av | jnp.where(nib >= 4, jnp.uint32(3) << sh, jnp.uint32(0))
-
-        u0 = LEAD // UB
-        HAS_B2 = TFULL > TA  # spill word needed only when 2(W+S-1) > 32
-        A = jnp.zeros((Q,), jnp.uint32)
-        Aa = jnp.zeros((Q,), jnp.uint32)
-        B2 = jnp.zeros((Q,), jnp.uint32) if HAS_B2 else jnp.uint32(0)
-        B2a = jnp.zeros((Q,), jnp.uint32) if HAS_B2 else jnp.uint32(0)
-        for j in range(min(TFULL, TA)):
-            sh = 32 - 2 * UB * (j + 1)
-            A = A | (jax.lax.dynamic_slice(tv, (u0 + j,), (Q,)) << sh)
-            Aa = Aa | (jax.lax.dynamic_slice(av, (u0 + j,), (Q,)) << sh)
-        for j in range(TA, TFULL):
-            sh = 64 - 2 * UB * (j + 1)
-            B2 = B2 | (jax.lax.dynamic_slice(tv, (u0 + j,), (Q,)) << sh)
-            B2a = B2a | (jax.lax.dynamic_slice(av, (u0 + j,), (Q,)) << sh)
-        # group state packed into rows: the expand stage fetches all 2|4
-        # words per compacted group with ONE row gather
-        gstate = jnp.stack(
-            [A, Aa] + ([B2, B2a] if HAS_B2 else []), axis=-1
+        u32 = jax.lax.bitcast_convert_type(
+            tile_bytes.reshape(-1, 4), jnp.uint32
         )
+        m = u32 & 0x33333333
+        m = (m | (m >> 2)) & 0x0F0F0F0F
+        m = (m | (m >> 4)) & 0x00FF00FF
+        cw = (m | (m >> 8)) & 0x0000FFFF  # 8 LSB-first 2-bit codes/unit
+        a = (u32 >> 2) & 0x33333333  # non-ACGT nibble (>= 4) leaves bits
+        a = (a | (a >> 2)) & 0x0F0F0F0F
+        a = (a | (a >> 4)) & 0x00FF00FF
+        aw = (a | (a >> 8)) & 0x0000FFFF  # nonzero 2-bit field = dirty base
 
-        def phase_h(A_, B2_, d):
-            """The W-mer value at phase d (bases d..d+W-1), in low 2W bits."""
-            if d == 0 or not HAS_B2:
-                x = A_ if d == 0 else (A_ << (2 * d))
+        u0 = LEAD // 8
+        c0 = jax.lax.dynamic_slice(cw, (u0,), (QP,))
+        c1 = jax.lax.dynamic_slice(cw, (u0 + 1,), (QP,))
+        c2 = jax.lax.dynamic_slice(cw, (u0 + 2,), (QP,))
+        a0 = jax.lax.dynamic_slice(aw, (u0,), (QP,))
+        a1 = jax.lax.dynamic_slice(aw, (u0 + 1,), (QP,))
+        a2 = jax.lax.dynamic_slice(aw, (u0 + 2,), (QP,))
+        W0 = c0 | (c1 << 16)  # bases 0..15 from the unit start
+        Wa = a0 | (a1 << 16)
+        # group state rows: the expand stage rebuilds any parity's
+        # registers from ONE row gather of [c0 c1 c2 a0 a1 a2]
+        gstate = jnp.stack([c0, c1, c2, a0, a1, a2], axis=-1)
+
+        rlane = jax.lax.broadcasted_iota(jnp.int32, (QP,), 0)
+        AV, pvs, vcs = [], [], []
+        for p in range(P):  # parity p: groups starting at unit base S_*p
+            sh = 2 * S_ * p
+            if sh == 0:
+                A, Aa = W0, Wa
             else:
-                x = (A_ << (2 * d)) | (B2_ >> (32 - 2 * d))
-            return x >> (32 - 2 * W)
-
-        V = A >> (32 - 2 * NB)
-        vclean = (Aa >> (32 - 2 * NB)) == 0
-        glane = jax.lax.broadcasted_iota(jnp.int32, (Q,), 0)
-        pv_any = jnp.zeros((Q,), jnp.bool_)
-        for d in range(S_):
-            pcl = phase_h(Aa, B2a, d) == 0
-            pv_any = pv_any | (pcl & (glane * S_ + d < n_scan))
+                A = (W0 >> sh) | (c2 << (32 - sh))
+                Aa = (Wa >> sh) | (a2 << (32 - sh))
+            Ba = a2 >> sh  # shifted-window bits 32.. (W-mer spill, W=16)
+            pv = jnp.zeros((QP,), jnp.bool_)
+            for d in range(S_):
+                va = (Aa >> (2 * d)) & m2w
+                if 2 * (d + W) > 32:  # only possible for d >= 1
+                    va = va | ((Ba << (32 - 2 * d)) & m2w)
+                pv = pv | (
+                    (va == 0) & (rlane * 8 + S_ * p + d < n_scan)
+                )
+            AV.append((A & m2kb))
+            pvs.append(pv)
+            vcs.append((Aa & m2kb) == 0)
         if stop == "hash":
-            return _stopped(A, Aa, V, pv_any)
+            return _stopped(*AV, *pvs)
 
-        hq = (V * jnp.uint32(0x9E3779B1)) >> (32 - cfg.qbloom_bits)
-        qword = table.qbloom[(hq >> 5).astype(jnp.int32)]
-        hit = ((qword >> (hq & 31)) & 1) == 1
-        # Groups whose NB-base span contains an ambiguous base skip the
-        # bloom (its key would be garbage) and go straight to the exact
-        # per-phase CSR — rare, and the phase validity masks there are
-        # exact, so this only costs capacity near ambiguity runs.
-        flag = pv_any & (hit | ~vclean)
+        flags_p = []
+        for p in range(P):
+            if cfg.exact_group:
+                bk = AV[p]
+            else:
+                bk = (AV[p] * jnp.uint32(0x9E3779B1)) >> (
+                    32 - cfg.qbloom_bits
+                )
+            qword = table.qbloom[(bk >> 5).astype(jnp.int32)]
+            hit = ((qword >> (bk & 31)) & 1) == 1
+            # Groups whose key span contains an ambiguous base skip the
+            # table (their value bits are garbage) and go straight to the
+            # exact per-phase CSR — the phase validity masks there are
+            # exact, so this only costs capacity near ambiguity runs.
+            flags_p.append(pvs[p] & (hit | ~vcs[p]))
         if stop == "bloom":
-            return _stopped(flag)
-        c_total = jnp.sum(flag.astype(jnp.int32))  # candidate GROUPS
+            return _stopped(*flags_p)
+        c_total = jnp.int32(0)
+        for f in flags_p:
+            c_total = c_total + jnp.sum(f.astype(jnp.int32))
+
+        # Pack each parity's flags into 32-bit words over r, then bit-
+        # interleave the P parity streams into GROUP-ordered words (group
+        # q = r*P + p), preserving the ascending-position emission order
+        # through the word-level compaction below.
+        QPW = QP // 32
         NWU = Q // 32
-        fb = flag.reshape(NWU, 32).astype(jnp.uint32)
         wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
-        words = jnp.sum(fb << wbits, axis=1, dtype=jnp.uint32)
+        pw = [
+            jnp.sum(
+                f.reshape(QPW, 32).astype(jnp.uint32) << wbits,
+                axis=1,
+                dtype=jnp.uint32,
+            )
+            for f in flags_p
+        ]
+
+        def _spread(x, step):
+            """Zero-interleave the low 32//step bits to stride `step`."""
+            if step == 2:
+                x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+                x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+                x = (x | (x << 2)) & jnp.uint32(0x33333333)
+                x = (x | (x << 1)) & jnp.uint32(0x55555555)
+            else:  # step == 4
+                x = (x | (x << 12)) & jnp.uint32(0x000F000F)
+                x = (x | (x << 6)) & jnp.uint32(0x03030303)
+                x = (x | (x << 3)) & jnp.uint32(0x11111111)
+            return x
+
+        parts = []
+        for s in range(P):  # s-th group-word carved from each parity word
+            width = 32 // P
+            sub = [(w >> (width * s)) & ((1 << width) - 1) for w in pw]
+            acc = _spread(sub[0], P)
+            for i in range(1, P):
+                acc = acc | (_spread(sub[i], P) << i)
+            parts.append(acc)
+        words = jnp.stack(parts, axis=-1).reshape(NWU)
     else:
         codes = _encode_codes(tile_bytes)
         isamb = codes == AMBIG
@@ -348,7 +389,8 @@ def _scan_tile_impl(
         h = jnp.zeros((L,), dtype=jnp.uint32)
         amb = jnp.zeros((L,), dtype=jnp.bool_)
         for i in range(W):  # static unroll: W <= 16 shifted ORs (VPU)
-            h = (h << 2) | jax.lax.dynamic_slice(cc, (LEAD + i,), (L,))
+            # LSB-first: base i of the window at bits [2i, 2i+2)
+            h = h | (jax.lax.dynamic_slice(cc, (LEAD + i,), (L,)) << (2 * i))
             amb = amb | jax.lax.dynamic_slice(isamb, (LEAD + i,), (L,))
         lane = jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
         flag = bloom_flag(h, (~amb) & (lane < n_scan))
@@ -434,17 +476,26 @@ def _scan_tile_impl(
     if cfg.packed:
         # Each compacted group contributes its phases' bucket candidates in
         # phase order d = 0..S-1 (ascending scan position — the emission-
-        # order contract). Phase hashes come from the gathered group state
+        # order contract). Phase values come from the gathered group state
         # arithmetically; validity is re-derived per phase.
-        gs = gstate[cpos]  # one row gather for A/Aa (+B2/B2a)
-        Ac, Aac = gs[:, 0], gs[:, 1]
-        B2c = gs[:, 2] if HAS_B2 else jnp.uint32(0)
-        B2ac = gs[:, 3] if HAS_B2 else jnp.uint32(0)
+        gs = gstate[cpos // P]  # ONE row gather: [c0 c1 c2 a0 a1 a2]
+        shv = jnp.uint32(2 * S_) * (cpos % P).astype(jnp.uint32)
+        W0c = gs[:, 0] | (gs[:, 1] << 16)
+        Wac = gs[:, 3] | (gs[:, 4] << 16)
+        # shv == 0 guard: a shift by 32 is undefined, but that lane takes
+        # the where's other branch, so the garbage is discarded
+        Ac = jnp.where(shv == 0, W0c, (W0c >> shv) | (gs[:, 2] << (32 - shv)))
+        Aac = jnp.where(shv == 0, Wac, (Wac >> shv) | (gs[:, 5] << (32 - shv)))
+        Bc = gs[:, 2] >> shv
+        Bac = gs[:, 5] >> shv
         sts, cns = [], []
         for d in range(S_):
-            phh = phase_h(Ac, B2c, d)
-            pcl = phase_h(Aac, B2ac, d) == 0
-            m = cvalid & pcl & (cpos * S_ + d < n_scan)
+            phh = (Ac >> (2 * d)) & m2w
+            pha = (Aac >> (2 * d)) & m2w
+            if 2 * (d + W) > 32:  # W-mer spill past bit 32 (W=16, d>=1)
+                phh = phh | ((Bc << (32 - 2 * d)) & m2w)
+                pha = pha | ((Bac << (32 - 2 * d)) & m2w)
+            m = cvalid & (pha == 0) & (cpos * S_ + d < n_scan)
             st_d, cn_d = exact_csr(phh, m)
             sts.append(st_d)
             cns.append(cn_d)
@@ -701,6 +752,7 @@ def default_config(
     packed: bool = True,
     stride: int = 2,
     qbloom_bits: int = 22,
+    exact_group: bool = False,
     n_unique: int = 0,
 ) -> ScanConfig:
     """Capacity heuristics.
@@ -730,9 +782,15 @@ def default_config(
     # truncation false positives only exist for W > bloom_bits/2
     trunc_fp = E / float(1 << bloom_bits) if bloom_bits < 2 * wordsize else 0.0
     if packed:
-        # group flagged if mult-hash FP or any of its S phases is a real
-        # bucket key (the per-phase CSR then rejects FPs exactly)
-        fp_q = min(1.0, stride * 4 ** (stride - 1) * E1 / float(1 << qbloom_bits))
+        # group flagged if any of its S phases is a real bucket key, plus
+        # (mult-hash fallback only) bloom false positives; the exact
+        # direct-mapped table has none
+        if exact_group:
+            fp_q = 0.0
+        else:
+            fp_q = min(
+                1.0, stride * 4 ** (stride - 1) * E1 / float(1 << qbloom_bits)
+            )
         p_unit = fp_q + min(1.0, stride * p_real)
         units = tile_len // stride
     else:
@@ -750,6 +808,7 @@ def default_config(
         packed=packed,
         stride=stride,
         qbloom_bits=qbloom_bits,
+        exact_group=exact_group,
         tile_len=tile_len,
         lead=lead,
         tail=tail,

@@ -39,6 +39,24 @@ from .encoding import (
 )
 
 MAX_BLOOM_BITS = 24  # 2^24 bits = 2 MB; exact for W <= 12
+MAX_GTAB_BITS = 28  # exact group table cap: 2^28 bits = 32 MB
+
+
+def _lsb_keys(hashes: np.ndarray, wordsize: int) -> np.ndarray:
+    """Reference MSB-first W-mer hashes -> LSB-first key values.
+
+    The device tables key buckets by the LSB-first value (base i of the
+    W-mer at bits [2i, 2i+2)) because the packed scan derives every
+    phase's key from a group register with one shift-and; any bijection
+    of the base tuple is a valid bucket key as long as compiler and scan
+    agree. The reference's hash (engine.py:331-355) packs MSB-first, so
+    loader-produced hashes are bit-pair-reversed here.
+    """
+    h = hashes.astype(np.uint64)
+    k = np.zeros_like(h)
+    for i in range(wordsize):
+        k |= ((h >> (2 * (wordsize - 1 - i))) & 3) << (2 * i)
+    return k.astype(np.int64)
 
 
 class DeviceTable(NamedTuple):
@@ -86,8 +104,9 @@ class TableMeta:
     n_entries: int
     n_unique: int
     bloom_bits: int
-    stride: int  # packed front-end: positions per bloom lookup (2|4)
-    qbloom_bits: int
+    stride: int  # packed front-end: positions per group lookup (2|4)
+    qbloom_bits: int  # log2 bits of the group table (== 2*span when exact)
+    exact_group: bool  # True: direct-mapped exact table; False: mult-hash bloom
     p1_max: int
     p2_max: int
     lead: int  # max hash_offset over entries (tile left halo)
@@ -114,7 +133,7 @@ def compile_table(
         hashes = np.zeros(0, dtype=np.int64)
         order = np.zeros(0, dtype=np.int64)
     else:
-        hashes = res.hashes
+        hashes = _lsb_keys(res.hashes, wordsize)
         order = np.argsort(hashes, kind="stable")
 
     sorted_hashes = hashes[order]
@@ -133,49 +152,91 @@ def compile_table(
         bloom, (keys >> 5).astype(np.int64), np.uint32(1) << (keys & 31).astype(np.uint32)
     )
 
-    # ---- stride-group bloom (packed path) ---------------------------------
-    # ONE mult-hashed lookup covers `stride` adjacent scan positions. The
-    # key is the aligned group's first NB bases; for every bucket key K and
-    # phase d we insert every NB-base string containing K (or, when the
-    # window truncates at NB, K's prefix) at offset d. The scan's per-phase
-    # exact CSR removes all false positives, so bits here can only
-    # over-approximate. Stride 4 when the false-positive rate stays small,
-    # else stride 2 (dense tables).
+    # ---- stride-group table (packed path) ---------------------------------
+    # ONE lookup covers `stride` adjacent scan positions. A group's key is
+    # its first KB bases (LSB-first value). Whenever the group span
+    # W + stride - 1 fits MAX_GTAB_BITS/2 bases, the table is an EXACT
+    # direct-mapped bitmask over all 4^span group values: bit v is set iff
+    # some phase of the span-string with value v starts a bucket key —
+    # zero false positives, so downstream capacities track real density
+    # only. For larger W a mult-hashed bloom over the first
+    # KB = min(16, span) bases is used instead (false positives removed by
+    # the per-phase exact CSR either way).
     E1 = max(len(uhash), 1)
-
-    def _qbits(ins: int) -> int:
-        return int(np.clip(int(np.ceil(np.log2(max(ins, 1) / 0.015))), 20, 26))
-
-    qb4 = _qbits(256 * E1)
-    if (256 * E1) / float(1 << qb4) <= 0.05:
+    uh64 = uhash.astype(np.uint64)
+    if 2 * (wordsize + 3) <= MAX_GTAB_BITS:
         stride = 4
-        qbloom_bits = qb4
     else:
         stride = 2
-        qbloom_bits = _qbits(8 * E1)
-    NB = min(16, wordsize + stride - 1)
-    qbloom = np.zeros((1 << qbloom_bits) // 32, dtype=np.uint32)
-    GOLD = np.uint32(0x9E3779B1)
-    for d in range(stride):
-        o = min(wordsize, NB - d)  # bases of K inside the NB window
-        kpref = (uhash.astype(np.uint64) >> (2 * (wordsize - o))).astype(
-            np.uint64
+    span = wordsize + stride - 1
+    exact_group = 2 * span <= MAX_GTAB_BITS
+    if exact_group:
+        qbloom_bits = 2 * span
+        n_ins = stride * (4 ** (span - wordsize)) * len(uhash)
+        if n_ins <= (1 << 21):
+            qbloom = np.zeros((1 << qbloom_bits) // 32, dtype=np.uint32)
+            for d in range(stride):
+                npre = 1 << (2 * d)
+                nsuf = 1 << (2 * (span - wordsize - d))
+                v = (
+                    np.arange(npre, dtype=np.uint64)[:, None, None]
+                    | (uh64 << (2 * d))[None, :, None]
+                    | (
+                        np.arange(nsuf, dtype=np.uint64)
+                        << (2 * (d + wordsize))
+                    )[None, None, :]
+                ).reshape(-1)
+                np.bitwise_or.at(
+                    qbloom,
+                    (v >> 5).astype(np.int64),
+                    np.uint32(1) << (v & 31).astype(np.uint32),
+                )
+        else:
+            # dense sets: boolean scatter + packbits beats ufunc.at by ~20x
+            bits = np.zeros(1 << qbloom_bits, dtype=np.bool_)
+            for d in range(stride):
+                npre = 1 << (2 * d)
+                nsuf = 1 << (2 * (span - wordsize - d))
+                v = (
+                    np.arange(npre, dtype=np.uint64)[:, None, None]
+                    | (uh64 << (2 * d))[None, :, None]
+                    | (
+                        np.arange(nsuf, dtype=np.uint64)
+                        << (2 * (d + wordsize))
+                    )[None, None, :]
+                ).reshape(-1)
+                bits[v] = True
+            qbloom = np.packbits(bits, bitorder="little").view(np.uint32)
+    else:
+        # mult-hashed fallback (W >= 14): key = first KB bases of the group
+        KB = min(16, span)
+        qbloom_bits = int(
+            np.clip(
+                int(np.ceil(np.log2(max(8 * E1, 1) / 0.015))), 20, 26
+            )
         )
-        npre = 1 << (2 * d)  # preceding-base variants
-        nsuf = 1 << (2 * (NB - d - o))  # following-base variants
-        v = (
-            (np.arange(npre, dtype=np.uint64)[:, None, None] << (2 * (NB - d)))
-            | (kpref[None, :, None] << (2 * (NB - d - o)))
-            | np.arange(nsuf, dtype=np.uint64)[None, None, :]
-        ).reshape(-1)
-        hq = ((v.astype(np.uint32) * GOLD) >> (32 - qbloom_bits)).astype(
-            np.uint64
-        )
-        np.bitwise_or.at(
-            qbloom,
-            (hq >> 5).astype(np.int64),
-            np.uint32(1) << (hq & 31).astype(np.uint32),
-        )
+        qbloom = np.zeros((1 << qbloom_bits) // 32, dtype=np.uint32)
+        GOLD = np.uint32(0x9E3779B1)
+        for d in range(stride):
+            o = min(wordsize, KB - d)  # bases of K inside the KB window
+            kpref = uh64 & ((np.uint64(1) << (2 * o)) - np.uint64(1))
+            npre = 1 << (2 * d)
+            nsuf = 1 << (2 * (KB - d - o))
+            v = (
+                np.arange(npre, dtype=np.uint64)[:, None, None]
+                | (kpref << (2 * d))[None, :, None]
+                | (np.arange(nsuf, dtype=np.uint64) << (2 * (d + o)))[
+                    None, None, :
+                ]
+            ).reshape(-1)
+            hq = ((v.astype(np.uint32) * GOLD) >> (32 - qbloom_bits)).astype(
+                np.uint64
+            )
+            np.bitwise_or.at(
+                qbloom,
+                (hq >> 5).astype(np.int64),
+                np.uint32(1) << (hq & 31).astype(np.uint32),
+            )
 
     exp_nib, exp_primer = iupac_exp_masks()
     p1_max = max(16, _round_up(int(res.p1_lens.max()) if E else 16, 8))
@@ -259,6 +320,7 @@ def compile_table(
         bloom_bits=bloom_bits,
         stride=stride,
         qbloom_bits=qbloom_bits,
+        exact_group=exact_group,
         p1_max=p1_max,
         p2_max=p2_max,
         lead=int(res.hash_offsets.max()) if E else 0,
