@@ -302,11 +302,13 @@ class MerPCR:
             out = type(pend[0])(*(np.concatenate(cols) for cols in zip(*host)))
 
         c_tot = np.asarray(out.c_total)
+        x_tot = np.asarray(out.pos_total)
         p_tot = np.asarray(out.pair_total)
         a_tot = np.asarray(out.anch_total)
         h_tot = np.asarray(out.hit_total)
         overflow = (
             (c_tot > cfg0.cpos_cap)
+            | (x_tot > cfg0.pos_cap)
             | (p_tot > cfg0.cand_cap)
             | (a_tot > cfg0.anch_cap)
             | (h_tot > cfg0.hit_cap)
@@ -348,14 +350,16 @@ class MerPCR:
         cfg = cfg0.escalate()
         for _ in range(MAX_ESCALATIONS):
             out = self._run_tile(cfg, seq, n, tile_start)
-            c, p, a, ht = (
+            c, x, p, a, ht = (
                 int(out.c_total),
+                int(out.pos_total),
                 int(out.pair_total),
                 int(out.anch_total),
                 int(out.hit_total),
             )
             if (
                 c <= cfg.cpos_cap
+                and x <= cfg.pos_cap
                 and p <= cfg.cand_cap
                 and a <= cfg.anch_cap
                 and ht <= cfg.hit_cap
@@ -369,9 +373,10 @@ class MerPCR:
                 rows[:, 5] = np.asarray(out.rank[:ht])
                 return rows
             logger.debug(
-                "tile %d overflow (cpos %d/%d cand %d/%d anch %d/%d hit %d/%d); escalating",
-                tile_idx, c, cfg.cpos_cap, p, cfg.cand_cap, a, cfg.anch_cap,
-                ht, cfg.hit_cap,
+                "tile %d overflow (cpos %d/%d pos %d/%d cand %d/%d anch %d/%d"
+                " hit %d/%d); escalating",
+                tile_idx, c, cfg.cpos_cap, x, cfg.pos_cap, p, cfg.cand_cap,
+                a, cfg.anch_cap, ht, cfg.hit_cap,
             )
             cfg = cfg.escalate()
         raise RuntimeError("tile capacity escalation failed to converge")

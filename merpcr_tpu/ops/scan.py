@@ -5,15 +5,22 @@ engine.py:507-597 `_match_sts`, engine.py:599-642 `_compare_seqs`).
 Design (array program, everything static-shaped and jit-compiled once):
 
   tile bytes (uint8[TB], halo-padded; packed = 2 bases/byte)
-    │ 1. stride-S group decode: consecutive tap-unit slices build a 32-bit
-    │    MSB-first group value (+ spill) — no rolling hash, no strided
-    │    relayouts; per-phase W-mer hashes derive arithmetically
+    │ 1. u32-unit decode: 8 LSB-first 2-bit codes per unit; stride-S
+    │    group registers come from consecutive unit slices — no rolling
+    │    hash, no strided relayouts; W-mer values derive arithmetically
     │ 2. ambiguity masks aligned with the code bits (dirty base -> 11)
-    │ 3. ONE mult-hashed bloom lookup per S positions (S=4 sparse, 2 dense)
+    │ 3. ONE any-phase table bit per S positions (exact direct-mapped
+    │    1-bit table when the span fits; mult-hash bloom for large W) —
+    │    the hot gather stays on the SMALLEST table (gather rate degrades
+    │    with table size, tools/gather_microbench9.py)
     ▼
   compacted candidate groups (word-bitpack + scatter-max rank inversion)
-    │ 4. exact per-phase CSR: (start,count) as one 2-wide row gather
-    │ 5. (group, phase, slot) expansion via scatter-max rank inversion
+    │ 4. phase-bit nibble: ONE exact phase-table gather per compacted
+    │    group says WHICH phases hold real bucket keys (zero false
+    │    phases; validity-bit fallback for dirty spans / large W)
+    │ 5. (group, phase) -> position and (position, slot) -> pair
+    │    expansions via scatter-max rank inversion; one exact-CSR
+    │    (start,count) row gather per position
     ▼
   candidate pairs (cap CAND) ── 6. primer1 verify: 16-byte row gathers +
     │                              byte barrel shift + nibble interleave;
@@ -91,6 +98,7 @@ class ScanConfig:
     p2_max: int
     bloom_bits: int
     cpos_cap: int
+    pos_cap: int  # packed path: (group, phase) candidate positions
     cand_cap: int
     anch_cap: int
     hit_cap: int
@@ -116,6 +124,7 @@ class ScanConfig:
             **{
                 **self.__dict__,
                 "cpos_cap": min(self.cpos_cap * factor, units),
+                "pos_cap": min(self.pos_cap * factor, self.tile_len),
                 "cand_cap": self.cand_cap * factor,
                 "anch_cap": self.anch_cap * factor,
                 "hit_cap": self.hit_cap * factor,
@@ -126,7 +135,8 @@ class ScanConfig:
 class ScanOut(NamedTuple):
     """Per-tile scan results (fixed capacity; *_total give true counts)."""
 
-    c_total: jnp.ndarray  # int32 — candidate positions found
+    c_total: jnp.ndarray  # int32 — candidate groups flagged
+    pos_total: jnp.ndarray  # int32 — (group, phase) positions expanded
     pair_total: jnp.ndarray  # int32 — (pos, slot) pairs expanded
     anch_total: jnp.ndarray  # int32 — primer1-passing anchors
     hit_total: jnp.ndarray  # int32 — hits emitted
@@ -189,7 +199,7 @@ def _rank_invert(cnt: jnp.ndarray, cap_out: int):
 def _empty_out(cfg: ScanConfig) -> ScanOut:
     z = jnp.int32(0)
     zh = jnp.zeros((cfg.hit_cap,), jnp.int32)
-    return ScanOut(z, z, z, z, zh, zh, zh, zh, zh)
+    return ScanOut(z, z, z, z, z, zh, zh, zh, zh, zh)
 
 
 def _scan_tile(
@@ -476,8 +486,12 @@ def _scan_tile_impl(
     if cfg.packed:
         # Each compacted group contributes its phases' bucket candidates in
         # phase order d = 0..S-1 (ascending scan position — the emission-
-        # order contract). Phase values come from the gathered group state
-        # arithmetically; validity is re-derived per phase.
+        # order contract). Which phases participate is decided by the
+        # phase-bit nibble nb (bit d = phase d may anchor a bucket key):
+        # for clean spans in exact mode, ONE gather of the exact phase
+        # table (zero false phases, so the expansion below tracks real
+        # density); otherwise the per-phase validity bits (the exact CSR
+        # probe then rejects non-keys).
         gs = gstate[cpos // P]  # ONE row gather: [c0 c1 c2 a0 a1 a2]
         shv = jnp.uint32(2 * S_) * (cpos % P).astype(jnp.uint32)
         W0c = gs[:, 0] | (gs[:, 1] << 16)
@@ -488,43 +502,78 @@ def _scan_tile_impl(
         Aac = jnp.where(shv == 0, Wac, (Wac >> shv) | (gs[:, 5] << (32 - shv)))
         Bc = gs[:, 2] >> shv
         Bac = gs[:, 5] >> shv
-        sts, cns = [], []
+        nbv = jnp.zeros_like(Ac)
         for d in range(S_):
-            phh = (Ac >> (2 * d)) & m2w
             pha = (Aac >> (2 * d)) & m2w
             if 2 * (d + W) > 32:  # W-mer spill past bit 32 (W=16, d>=1)
-                phh = phh | ((Bc << (32 - 2 * d)) & m2w)
                 pha = pha | ((Bac << (32 - 2 * d)) & m2w)
-            m = cvalid & (pha == 0) & (cpos * S_ + d < n_scan)
-            st_d, cn_d = exact_csr(phh, m)
-            sts.append(st_d)
-            cns.append(cn_d)
-        cnt = sum(cns)
+            ok_d = (pha == 0) & (cpos * S_ + d < n_scan)
+            nbv = nbv | (ok_d.astype(jnp.uint32) << d)
+        if cfg.exact_group:
+            keyc = Ac & m2kb
+            NPS = 5 - (S_.bit_length() - 1)  # log2(32 / S)
+            wordc = table.ptab[(keyc >> NPS).astype(jnp.int32)]
+            nbt = (
+                wordc >> ((keyc & ((1 << NPS) - 1)) * jnp.uint32(S_))
+            ) & jnp.uint32((1 << S_) - 1)
+            # clean span => every phase ambiguity-free, so nbv holds just
+            # the in-bounds bits there and nbt & nbv is "real key, in
+            # bounds"; dirty spans (garbage key) keep the validity bits
+            vcc = (Aac & m2kb) == 0
+            nb = jnp.where(vcc, nbt & nbv, nbv)
+        else:
+            nb = nbv
+        nb = jnp.where(cvalid, nb, 0)
+
+        # ---- 5a. (group, phase) -> position expansion ----------------------
+        pcnt = jax.lax.population_count(nb).astype(jnp.int32)
+        pos_total = jnp.sum(pcnt)
+        srcg, gexcl = _rank_invert(pcnt, cfg.pos_cap)
+        tq = jax.lax.broadcasted_iota(jnp.int32, (cfg.pos_cap,), 0)
+        pos_valid = tq < pos_total
+        # everything the position stage needs from its group in ONE 4-col
+        # row gather (gather cost is per ROW on this hardware)
+        g2 = jnp.stack(
+            [nb, Ac, Bc, cpos.astype(jnp.uint32)], axis=-1
+        )[srcg]
+        nbg, Acg, Bcg = g2[:, 0], g2[:, 1], g2[:, 2]
+        gposg = g2[:, 3].astype(jnp.int32)
+        # select the rank-th set bit of the S-bit nibble -> phase
+        rb = tq - gexcl
+        ph = jnp.zeros_like(rb)
+        w2 = nbg
+        for half in ((2, 1) if S_ == 4 else (1,)):
+            lowmask = jnp.uint32((1 << half) - 1)
+            clow = jax.lax.population_count(w2 & lowmask).astype(jnp.int32)
+            go_hi = rb >= clow
+            ph = ph + jnp.where(go_hi, half, 0)
+            rb = rb - jnp.where(go_hi, clow, 0)
+            w2 = jnp.where(go_hi, w2 >> half, w2 & lowmask)
+        phh = jnp.zeros_like(Acg)
+        for d in range(S_):
+            v = (Acg >> (2 * d)) & m2w
+            if 2 * (d + W) > 32:
+                v = v | ((Bcg << (32 - 2 * d)) & m2w)
+            phh = jnp.where(ph == d, v, phh)
+        pposx = gposg * S_ + ph  # local scan position of each candidate
+        if stop == "pos":
+            return _stopped(phh, pposx)
+
+        # ---- 5b. (position, slot) -> pair expansion ------------------------
+        start, cnt = exact_csr(phh, pos_valid)
         pair_total = jnp.sum(cnt)
         j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
         srcc, jexcl = _rank_invert(cnt, cfg.cand_cap)
         pair_valid = j < pair_total
         slot = j - jexcl
-        # per-phase (start, count) packed into one row per group, so the
-        # phase-selection pass needs a single row gather at srcc
-        stcn = jnp.stack(
-            [x for d in range(S_) for x in (sts[d], cns[d])], axis=-1
-        )[srcc]
-        entry = jnp.zeros((cfg.cand_cap,), jnp.int32)
-        ph_of = jnp.zeros((cfg.cand_cap,), jnp.int32)
-        prev = jnp.zeros((cfg.cand_cap,), jnp.int32)
-        for d in range(S_):
-            cn = stcn[:, 2 * d + 1]
-            inphase = (slot >= prev) & (slot < prev + cn)
-            entry = jnp.where(inphase, stcn[:, 2 * d] + slot - prev, entry)
-            ph_of = jnp.where(inphase, d, ph_of)
-            prev = prev + cn
-        entry = jnp.clip(entry, 0, E - 1)
-        ppos = cpos[srcc] * S_ + ph_of
+        sp2 = jnp.stack([start, pposx], axis=-1)[srcc]  # one 2-col row gather
+        entry = jnp.clip(sp2[:, 0] + slot, 0, E - 1)
+        ppos = sp2[:, 1]
         if stop == "expand":
             return _stopped(entry, ppos)
     else:
         hc = h[cpos]
+        pos_total = jnp.int32(0)  # no separate position stage on this path
         start, cnt = exact_csr(hc, cvalid)
         pair_total = jnp.sum(cnt)
         j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
@@ -675,6 +724,7 @@ def _scan_tile_impl(
     hp2 = p2[a_of, r_of]
     return ScanOut(
         c_total=c_total,
+        pos_total=pos_total,
         pair_total=pair_total,
         anch_total=anch_total,
         hit_total=hit_total,
@@ -797,9 +847,18 @@ def default_config(
         p_unit = p_real + trunc_fp
         units = tile_len
     expect_units = int(units * min(p_unit, 1.0))
+    # position expectation (packed expand stage): with the exact phase
+    # table a position expands iff its W-mer is a real bucket key, so the
+    # count tracks unique-key density; the fallback expands every valid
+    # phase of a flagged group
+    if packed and exact_group:
+        expect_pos = int(tile_len * min(1.0, E1 / float(4**wordsize)))
+    else:
+        expect_pos = stride * expect_units if packed else expect_units
     # E[sum of bucket counts] over the tile is exactly L * E / 4^W
     expect_cands = int(tile_len * (p_real + trunc_fp))
     cpos_cap = min(max(1024, int(1.5 * expect_units) + 256), units)
+    pos_cap = min(max(1024, int(1.5 * expect_pos) + 256), tile_len)
     cand_cap = min(max(2048, int(1.3 * expect_cands) + 512), 4 * tile_len)
     return ScanConfig(
         wordsize=wordsize,
@@ -816,6 +875,7 @@ def default_config(
         p2_max=p2_max,
         bloom_bits=bloom_bits,
         cpos_cap=cpos_cap,
+        pos_cap=pos_cap,
         cand_cap=cand_cap,
         anch_cap=64,
         hit_cap=128,

@@ -39,7 +39,7 @@ from .encoding import (
 )
 
 MAX_BLOOM_BITS = 24  # 2^24 bits = 2 MB; exact for W <= 12
-MAX_GTAB_BITS = 28  # exact group table cap: 2^28 bits = 32 MB
+GTAB_CAP_BITS = 1 << 30  # exact group-table cap: 2^30 bits = 128 MB HBM
 
 
 def _lsb_keys(hashes: np.ndarray, wordsize: int) -> np.ndarray:
@@ -65,7 +65,9 @@ class DeviceTable(NamedTuple):
     scode: jnp.ndarray  # int32[256]
     match: jnp.ndarray  # uint8[65536]   (256x256 flattened, [seq*256+primer])
     bloom: jnp.ndarray  # uint32[2^bloom_bits / 32]  (unpacked path)
-    qbloom: jnp.ndarray  # uint32[2^qbloom_bits / 32]  stride-group bloom
+    qbloom: jnp.ndarray  # uint32[2^qbloom_bits / 32]  stride-group any-phase bits
+    ptab: jnp.ndarray  # uint32 exact phase-bit table (expand stage; dummy [1]
+    #                    in mult-hash fallback mode)
     uhash: jnp.ndarray  # uint32[U]      sorted unique hashes
     ustart: jnp.ndarray  # int32[U+1]    CSR offsets into entry arrays
     # dense CSR (W <= 12): bucket_start[4^W + 1] — exact lookup is ONE
@@ -152,32 +154,54 @@ def compile_table(
         bloom, (keys >> 5).astype(np.int64), np.uint32(1) << (keys & 31).astype(np.uint32)
     )
 
-    # ---- stride-group table (packed path) ---------------------------------
-    # ONE lookup covers `stride` adjacent scan positions. A group's key is
-    # its first KB bases (LSB-first value). Whenever the group span
-    # W + stride - 1 fits MAX_GTAB_BITS/2 bases, the table is an EXACT
-    # direct-mapped bitmask over all 4^span group values: bit v is set iff
-    # some phase of the span-string with value v starts a bucket key —
-    # zero false positives, so downstream capacities track real density
-    # only. For larger W a mult-hashed bloom over the first
-    # KB = min(16, span) bases is used instead (false positives removed by
-    # the per-phase exact CSR either way).
+    # ---- stride-group tables (packed path) --------------------------------
+    # ONE front-end lookup covers `stride` adjacent scan positions.
+    # Whenever the group span W + stride - 1 is small enough, TWO exact
+    # direct-mapped tables over all 4^span span values are built:
+    #
+    # * ``qbloom`` — 1 bit per span value ("SOME phase of this exact span
+    #   string starts a bucket key"). This is the only table the
+    #   O(sequence) front end gathers; at 4^span bits it is 4x smaller
+    #   than the phase table, and gather throughput on this hardware
+    #   degrades with table size (tools/gather_microbench9.py), so the
+    #   hot stage stays on the small one. Zero false positives.
+    # * ``ptab`` — `stride` bits per span value: bit d set iff bases
+    #   d..d+W-1 of the span string are a bucket key. Gathered ONLY at
+    #   compacted-candidate granularity by the expand stage, where it
+    #   resolves WHICH phases anchor candidates without per-phase CSR
+    #   probes. Layout: span value v -> word v >> log2(32/S), bit
+    #   S*(v % (32/S)) + d.
+    #
+    # For larger W a mult-hashed bloom over the first KB = min(16, span)
+    # bases replaces qbloom (over-approximating; the exact CSR removes
+    # false positives) and ptab is a dummy.
     E1 = max(len(uhash), 1)
     uh64 = uhash.astype(np.uint64)
-    if 2 * (wordsize + 3) <= MAX_GTAB_BITS:
+    if 4 * (4 ** (wordsize + 3)) <= GTAB_CAP_BITS:
         stride = 4
     else:
         stride = 2
     span = wordsize + stride - 1
-    exact_group = 2 * span <= MAX_GTAB_BITS
+    exact_group = stride * (4**span) <= GTAB_CAP_BITS
     if exact_group:
         qbloom_bits = 2 * span
-        n_ins = stride * (4 ** (span - wordsize)) * len(uhash)
+        nspan = 1 << (2 * span)
+        # bit-spread LUT: byte b -> b's 8 bits moved to every S-th bit
+        bidx = np.arange(256, dtype=np.uint32)
+        lut = np.zeros(256, dtype=np.uint32)
+        for j in range(8):
+            lut |= ((bidx >> j) & 1) << (stride * j)
+        nsuf_bases = span - wordsize
+        NPS = 5 - (stride.bit_length() - 1)  # log2(32 / stride)
+        n_ins = stride * (4**nsuf_bases) * len(uhash)
         if n_ins <= (1 << 21):
-            qbloom = np.zeros((1 << qbloom_bits) // 32, dtype=np.uint32)
+            # sparse sets: scatter both layouts directly (never touches
+            # the whole 4^span plane, so this path is ~milliseconds)
+            qbloom = np.zeros(nspan // 32, dtype=np.uint32)
+            ptab = np.zeros(nspan * stride // 32, dtype=np.uint32)
             for d in range(stride):
                 npre = 1 << (2 * d)
-                nsuf = 1 << (2 * (span - wordsize - d))
+                nsuf = 1 << (2 * (nsuf_bases - d))
                 v = (
                     np.arange(npre, dtype=np.uint64)[:, None, None]
                     | (uh64 << (2 * d))[None, :, None]
@@ -191,24 +215,49 @@ def compile_table(
                     (v >> 5).astype(np.int64),
                     np.uint32(1) << (v & 31).astype(np.uint32),
                 )
+                np.bitwise_or.at(
+                    ptab,
+                    (v >> NPS).astype(np.int64),
+                    np.uint32(1)
+                    << (
+                        (v & ((1 << NPS) - 1)).astype(np.uint32)
+                        * np.uint32(stride)
+                        + np.uint32(d)
+                    ),
+                )
         else:
-            # dense sets: boolean scatter + packbits beats ufunc.at by ~20x
-            bits = np.zeros(1 << qbloom_bits, dtype=np.bool_)
+            # dense sets: boolean scatter + packbits beats ufunc.at ~20x;
+            # one pass per phase feeds both tables
+            any_pb = np.zeros(nspan // 8, dtype=np.uint8)
+            ptab = np.zeros(nspan * stride // 32, dtype=np.uint32)
             for d in range(stride):
                 npre = 1 << (2 * d)
-                nsuf = 1 << (2 * (span - wordsize - d))
-                v = (
-                    np.arange(npre, dtype=np.uint64)[:, None, None]
-                    | (uh64 << (2 * d))[None, :, None]
-                    | (
-                        np.arange(nsuf, dtype=np.uint64)
-                        << (2 * (d + wordsize))
-                    )[None, None, :]
-                ).reshape(-1)
-                bits[v] = True
-            qbloom = np.packbits(bits, bitorder="little").view(np.uint32)
+                nsuf = 1 << (2 * (nsuf_bases - d))
+                bits = np.zeros(nspan, dtype=np.bool_)
+                # chunk over keys to bound the index-array footprint
+                step = max(1, (1 << 22) // max(npre * nsuf, 1))
+                for lo in range(0, len(uh64), step):
+                    ks = uh64[lo : lo + step]
+                    v = (
+                        np.arange(npre, dtype=np.uint64)[:, None, None]
+                        | (ks << (2 * d))[None, :, None]
+                        | (
+                            np.arange(nsuf, dtype=np.uint64)
+                            << (2 * (d + wordsize))
+                        )[None, None, :]
+                    ).reshape(-1)
+                    bits[v] = True
+                pb = np.packbits(bits, bitorder="little")  # u8[nspan/8]
+                any_pb |= pb
+                sp = lut[pb] << d  # u32 per byte: 8 values' bit-d, spread
+                if stride == 4:
+                    ptab |= sp  # one byte of pb == one output word
+                else:  # stride == 2: two bytes per output word
+                    ptab |= sp[0::2] | (sp[1::2] << 16)
+            qbloom = any_pb.view(np.uint32)
     else:
         # mult-hashed fallback (W >= 14): key = first KB bases of the group
+        ptab = np.zeros(1, dtype=np.uint32)
         KB = min(16, span)
         qbloom_bits = int(
             np.clip(
@@ -288,6 +337,7 @@ def compile_table(
         match=jnp.asarray(match_matrix(iupac_mode).reshape(-1)),
         bloom=jnp.asarray(bloom),
         qbloom=jnp.asarray(qbloom),
+        ptab=jnp.asarray(ptab),
         uhash=jnp.asarray(uhash_dev),
         ustart=jnp.asarray(ustart_dev),
         bstart=jnp.asarray(bstart),

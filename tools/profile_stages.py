@@ -33,6 +33,7 @@ cfg = S.default_config(
     11, 50, 0, 1, meta.lead, res.max_pcr_size, meta.p1_max,
     meta.p2_max, meta.bloom_bits, tile_len=L, n_entries=meta.n_entries,
     stride=meta.stride, qbloom_bits=meta.qbloom_bits, n_unique=meta.n_unique,
+    exact_group=meta.exact_group,
 )
 print(f"n_sts={N_STS} L=2^{LOG2L} packed={cfg.packed} "
       f"stride={cfg.stride} qbits={cfg.qbloom_bits}")
@@ -87,7 +88,7 @@ def full(tb):
 
 
 prev = 0.0
-for st in ["hash", "bloom", "compact", "expand", "p1"]:
+for st in ["hash", "bloom", "compact", "pos", "expand", "p1"]:
     dt = timeit(st, staged(st))
     print(f"{'':20s} {'':>9s}  delta {max(dt-prev,0)*1e3:7.3f} ms")
     prev = dt
