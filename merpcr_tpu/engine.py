@@ -214,6 +214,18 @@ class MerPCR:
     # last group short-circuit via lax.cond (~free).
     TILE_GROUP = 8
 
+    # lax.map's per-iteration machinery costs ~3.4 ms/tile when the scan
+    # body's internal buffers are large (dense STS sets: pos_cap ~64K),
+    # but is ~free at sparse caps (measured, tools/tile_group_sweep.py /
+    # unroll_sweep.py: dense 50k-STS 498->428 ms at G=1, sparse within
+    # noise). Above this pos_cap, dispatch tiles individually — async
+    # dispatch still overlaps transfers, and each tile's ~18 ms compute
+    # hides the per-dispatch launch latency.
+    GROUP_POS_CAP_LIMIT = 16384
+
+    def _tile_group(self, cfg) -> int:
+        return 1 if cfg.pos_cap > self.GROUP_POS_CAP_LIMIT else self.TILE_GROUP
+
     def _scan_record(
         self, seq: np.ndarray, packed_rec: Optional[np.ndarray] = None
     ) -> np.ndarray:
@@ -254,7 +266,7 @@ class MerPCR:
                                for x in sout))
             n_tiles = min(n_tiles, n_shards * tps)
         else:
-            G = self.TILE_GROUP
+            G = self._tile_group(cfg0)
             n_groups = -(-n_tiles // G)
             d = 2 if packed else 1  # positions per input byte
             glen = (cfg0.lead + G * L + cfg0.tail) // d
