@@ -1,6 +1,11 @@
 # merpcr-tpu build/test harness (parity with reference Makefile:18-45)
 
 PY ?= python
+# CPU-only jax for tests/fuzz: blanking PALLAS_AXON_POOL_IPS skips the
+# axon (remote-TPU tunnel) sitecustomize registration entirely — a fresh
+# axon claim can block for many minutes while a killed process's device
+# lease drains, and CPU runs never need the tunnel.
+CPUENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
 .PHONY: test test-unit test-integration test-cli test-parallel test-perf \
         bench fuzz baseline deps native clean help
@@ -10,28 +15,28 @@ help:
 	@echo "         test-perf bench fuzz baseline deps native clean"
 
 test:
-	$(PY) -m pytest tests/ -q
+	$(CPUENV) $(PY) -m pytest tests/ -q
 
 test-unit:
-	$(PY) -m pytest tests/ -q -m unit
+	$(CPUENV) $(PY) -m pytest tests/ -q -m unit
 
 test-integration:
-	$(PY) -m pytest tests/ -q -m integration
+	$(CPUENV) $(PY) -m pytest tests/ -q -m integration
 
 test-cli:
-	$(PY) -m pytest tests/ -q -m cli
+	$(CPUENV) $(PY) -m pytest tests/ -q -m cli
 
 test-parallel:
-	$(PY) -m pytest tests/ -q -m parallel
+	$(CPUENV) $(PY) -m pytest tests/ -q -m parallel
 
 test-perf:
-	$(PY) -m pytest tests/ -q -m performance
+	$(CPUENV) $(PY) -m pytest tests/ -q -m performance
 
 bench:
 	$(PY) bench.py
 
 fuzz:
-	$(PY) tools/difffuzz.py 30 0
+	$(CPUENV) $(PY) tools/difffuzz.py 30 0
 
 baseline:
 	$(PY) scripts/performance_baseline.py establish

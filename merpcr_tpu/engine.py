@@ -358,10 +358,14 @@ class MerPCR:
         self, cfg0: ScanConfig, seq: np.ndarray, n: int, tile_idx: int
     ) -> np.ndarray:
         """Retry one overflowing tile with escalated capacities."""
+        import jax
+
         tile_start = tile_idx * cfg0.tile_len
         cfg = cfg0.escalate()
         for _ in range(MAX_ESCALATIONS):
-            out = self._run_tile(cfg, seq, n, tile_start)
+            # ONE bulk D2H: per-field int() reads would each pay a full
+            # host<->device round trip (expensive over a tunnel)
+            out = jax.device_get(self._run_tile(cfg, seq, n, tile_start))
             c, x, p, a, ht = (
                 int(out.c_total),
                 int(out.pos_total),

@@ -196,6 +196,47 @@ def _rank_invert(cnt: jnp.ndarray, cap_out: int):
     return src, excl[src]
 
 
+def _rank_d(r: int) -> int:
+    """Rank -> margin-window offset: 0, -1, +1, -2, +2, … (the reference's
+    expected-first-then-±i order, engine.py:543-593)."""
+    return -((r + 1) // 2) if r % 2 == 1 else r // 2
+
+
+def _row_window(
+    tile_bytes: jnp.ndarray, TB: int, pos0: jnp.ndarray, n_out: int
+) -> jnp.ndarray:
+    """Gather [cap, n_out] 4-bit letter codes starting at local positions
+    ``pos0`` from the packed nibble plane, at per-ROW gather cost.
+
+    Fetches NR aligned 16-byte rows per lane, barrel-rotates by the byte
+    offset, and interleaves nibbles — replacing n_out per-element gathers
+    (gather cost is per row on this hardware, tools/gather_microbench2.py).
+
+    ``pos0`` is clamped so every fetched row is in range; callers must mask
+    lanes whose true window is out of bounds (clamped lanes read shifted
+    data, never fault).
+    """
+    RB = 16
+    cap = pos0.shape[0]
+    rows2d = tile_bytes.reshape(TB // 2 // RB, RB)
+    spanb = n_out // 2 + 1
+    NR = -(-(RB - 1 + spanb) // RB)
+    p0 = jnp.clip(pos0, 0, TB - 32 * NR)  # keeps row0 + NR within the plane
+    byte0 = p0 >> 1
+    row0 = byte0 >> 4
+    g = rows2d[row0[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, NR), 1)]
+    x = g.reshape(cap, NR * RB).astype(jnp.int32)
+    boff = (byte0 & (RB - 1))[:, None]
+    for k in (8, 4, 2, 1):  # barrel rotate left by boff bytes
+        x = jnp.where((boff & k) != 0, jnp.roll(x, -k, axis=1), x)
+    il = jnp.stack([x & 15, x >> 4], axis=-1).reshape(cap, 2 * NR * RB)
+    return jnp.where(
+        ((p0 & 1) == 0)[:, None],
+        il[:, :n_out],
+        il[:, 1 : n_out + 1],
+    )
+
+
 def _empty_out(cfg: ScanConfig) -> ScanOut:
     z = jnp.int32(0)
     zh = jnp.zeros((cfg.hit_cap,), jnp.int32)
@@ -595,30 +636,10 @@ def _scan_tile_impl(
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap, cfg.p1_max), 1)
     if cfg.packed and TB % 32 == 0:
-        # Row-gather verify: fetch the whole primer window as NR 16-byte
-        # rows (per-ROW gather cost), then byte barrel-shift + nibble
-        # interleave in lanes — replaces p1_max per-element gathers.
-        RB = 16
-        rows2d = tile_bytes.reshape(TB // 2 // RB, RB)
-        spanb = cfg.p1_max // 2 + 1
-        NR = -(-(RB - 1 + spanb) // RB)
-        byte0 = kl >> 1
-        row0 = byte0 >> 4
-        g = rows2d[
-            row0[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, NR), 1)
-        ]
-        x = g.reshape(cfg.cand_cap, NR * RB).astype(jnp.int32)
-        boff = (byte0 & (RB - 1))[:, None]
-        for k in (8, 4, 2, 1):  # barrel rotate left by boff bytes
-            x = jnp.where((boff & k) != 0, jnp.roll(x, -k, axis=1), x)
-        il = jnp.stack([x & 15, x >> 4], axis=-1).reshape(
-            cfg.cand_cap, 2 * NR * RB
-        )
-        sb = jnp.where(
-            ((kl & 1) == 0)[:, None],
-            il[:, : cfg.p1_max],
-            il[:, 1 : cfg.p1_max + 1],
-        )
+        # Row-gather verify: fetch the whole window as NR 16-byte rows
+        # (per-ROW gather cost), then byte barrel-shift + nibble
+        # interleave in lanes — replaces n_out per-element gathers.
+        sb = _row_window(tile_bytes, TB, kl, cfg.p1_max)
     else:
         sb = plane_at(kl[:, None] + ii)
     if cfg.packed:
@@ -688,12 +709,34 @@ def _scan_tile_impl(
     # gather the window region once per anchor, then compare all R shifts
     span = 2 * M + cfg.p2_max
     wbase_l = (ak + exp - al2 - M) - tile_start + LEAD
-    jjj = jax.lax.broadcasted_iota(jnp.int32, (cfg.anch_cap, span), 1)
-    wb = plane_at(wbase_l[:, None] + jjj)  # [ANCH, span]
+    NRw = -(-(15 + span // 2 + 1) // 16)
+    if cfg.packed and TB % 32 == 0 and TB >= 32 * NRw:
+        # per-ROW gather cost: anch_cap * NRw rows instead of
+        # anch_cap * span element gathers (default_config sizes the tail
+        # so every real anchor's full window fetch stays in the plane)
+        wb = _row_window(tile_bytes, TB, wbase_l, span)  # [ANCH, span]
+    else:
+        jjj = jax.lax.broadcasted_iota(jnp.int32, (cfg.anch_cap, span), 1)
+        wb = plane_at(wbase_l[:, None] + jjj)  # [ANCH, span]
 
     i2 = jax.lax.broadcasted_iota(jnp.int32, (R, cfg.p2_max), 1)
-    off = M + d[:, None] + i2  # static-range offsets in [0, span)
-    sb2 = wb[:, off]  # [ANCH, R, P2MAX] gather with statically-known indices
+    if R <= 257:
+        # rank offsets are compile-time constants, so each rank's window
+        # is a contiguous STATIC slice of wb (vector loads) — not a per-
+        # element gather over anch_cap * R * p2_max indices. Unrolling is
+        # only worth it while R stays small (compile time scales with R).
+        sb2 = jnp.stack(
+            [
+                jax.lax.slice_in_dim(
+                    wb, M + _rank_d(r), M + _rank_d(r) + cfg.p2_max, axis=1
+                )
+                for r in range(R)
+            ],
+            axis=1,
+        )  # [ANCH, R, P2MAX]
+    else:
+        off = M + d[:, None] + i2  # static-range offsets in [0, span)
+        sb2 = wb[:, off]  # [ANCH, R, P2MAX] statically-known gather
     if cfg.packed:
         if cfg.iupac:  # expansion-set intersection, all-arithmetic
             m2 = (
@@ -819,8 +862,16 @@ def default_config(
     # lead rounded to 32 positions = 16 packed bytes, so the tile buffer
     # reshapes exactly into the verify stage's 16-byte rows.
     mcap = margin_cap(margin)
-    lead = -(-lead // 32) * 32
-    tail = -(-(max_pcr_size + mcap) // 256) * 256
+    # The halos cover every ACTIVE primer read PLUS the full row-gathered
+    # margin window: the verify stage fetches all 2*mcap + p2_max window
+    # positions as aligned 16-byte rows whose whole extent must stay
+    # inside the plane (see _row_window). The window's low edge starts
+    # mcap + len_p2 before the anchor (which itself sits up to the max
+    # hash offset before a scan position -> the `lead` argument), so the
+    # left halo needs lead + mcap + p2_max; the right needs
+    # max_pcr_size + 2*mcap + p2_max past the last scan position.
+    lead = -(-(lead + mcap + p2_max) // 32) * 32
+    tail = -(-(max_pcr_size + 2 * mcap + p2_max + 64) // 256) * 256
     # Candidate-unit expectation. Real bucket hits ~ L*E/4^W; pair mode adds
     # ~4 predecessor bits/key of false positives over L/2 pairs. Escalation
     # recompiles are far more expensive than slack capacity, so size with
@@ -877,6 +928,12 @@ def default_config(
         cpos_cap=cpos_cap,
         pos_cap=pos_cap,
         cand_cap=cand_cap,
-        anch_cap=64,
-        hit_cap=128,
+        # Anchors/hits come from REAL primer matches, which the random-
+        # density model above cannot predict. 256/tile = one anchor per
+        # 8 kb — 5-10x real STS density (human: ~1 per 30-50 kb). The
+        # anchor stage costs O(anch_cap) even with zero anchors, so this
+        # balances headroom against the zero-hit scan rate; the rare
+        # denser tile escalates (engine._rescan_tile, one extra dispatch).
+        anch_cap=256,
+        hit_cap=256,
     )
