@@ -24,16 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_MBP_PER_S = 3.2  # BASELINE.md measured: reference CPU, T=1
 
 
-def gen_data(tmpdir: str, n_mbp: float, n_sts: int, seed: int = 42):
+def gen_data(
+    tmpdir: str, n_mbp: float, n_sts: int, seed: int = 42, planted: int = 0
+):
+    """Random genome x random STS; ``planted`` of the STS additionally get
+    one real amplicon written into the genome (spread evenly), so the
+    anchor/margin/emission stages do real work instead of scanning 0 hits."""
     rng = random.Random(seed)
     n = int(n_mbp * 1e6)
     bases = "ACGT"
-    genome = "".join(rng.choices(bases, k=n))
-    fa_path = os.path.join(tmpdir, "bench.fa")
-    with open(fa_path, "w") as fh:
-        fh.write(">bench_seq synthetic\n")
-        for i in range(0, n, 80):
-            fh.write(genome[i : i + 80] + "\n")
+    genome = list("".join(rng.choices(bases, k=n)))
 
     sts_path = os.path.join(tmpdir, "bench.sts")
     with open(sts_path, "w") as fh:
@@ -41,7 +41,18 @@ def gen_data(tmpdir: str, n_mbp: float, n_sts: int, seed: int = 42):
             p1 = "".join(rng.choices(bases, k=rng.randrange(18, 26)))
             p2 = "".join(rng.choices(bases, k=rng.randrange(18, 26)))
             size = rng.randrange(100, 400)
+            if i < planted:
+                pos = (n // (planted + 1)) * (i + 1)
+                genome[pos : pos + len(p1)] = p1
+                genome[pos + size - len(p2) : pos + size] = p2
             fh.write(f"BENCH{i}\t{p1}\t{p2}\t{size}\n")
+
+    fa_path = os.path.join(tmpdir, "bench.fa")
+    genome = "".join(genome)
+    with open(fa_path, "w") as fh:
+        fh.write(">bench_seq synthetic\n")
+        for i in range(0, n, 80):
+            fh.write(genome[i : i + 80] + "\n")
     return sts_path, fa_path, n
 
 
@@ -56,12 +67,18 @@ def main():
     ap.add_argument("--three-prime", type=int, default=1, help="-X")
     ap.add_argument("--iupac", type=int, default=0, help="-I (config #4)")
     ap.add_argument("--margin", type=int, default=50, help="-M")
+    ap.add_argument(
+        "--planted", type=int, default=0,
+        help="plant this many real amplicons (hit-bearing workload)",
+    )
     args = ap.parse_args()
 
     import merpcr_tpu
 
     with tempfile.TemporaryDirectory() as td:
-        sts_path, fa_path, n = gen_data(td, args.mbp, args.nsts)
+        sts_path, fa_path, n = gen_data(
+            td, args.mbp, args.nsts, planted=args.planted
+        )
 
         eng = merpcr_tpu.MerPCR(
             wordsize=11,
@@ -99,6 +116,7 @@ def main():
                 "params": {
                     "M": args.margin, "N": args.mismatches,
                     "X": args.three_prime, "I": args.iupac,
+                    "planted": args.planted,
                 },
                 "best_s": round(best, 4),
                 "all_s": [round(t, 4) for t in times],

@@ -217,3 +217,37 @@ class TestTiling:
         # overlapping plants clobber each other; at least the separated ones
         # survive, including boundary-straddling hits
         assert len(whole.splitlines()) >= 4
+
+
+class TestRealisticDensityCapacity:
+    def test_no_rescan_at_realistic_hit_density(self, tmp_path, monkeypatch):
+        """~90 real hits in one 64 kb tile (one per ~700 bp — far denser
+        than real STS maps) must fit the DEFAULT per-tile anchor/hit
+        capacities: a hit-bearing search must never pay the per-tile
+        rescan (escalation) path, which costs an extra dispatch + full
+        round trip per tile per search (regression guard for the
+        anch_cap=64 collapse fixed in fe8b5dd)."""
+        rng = np.random.default_rng(3)
+        n = 64 * 1024
+        g = list("".join(rng.choice(list("ACGT"), size=n)))
+        amp = make_genome(0, 200, 0, "+")
+        n_plant = 90
+        for i in range(n_plant):
+            s = 17 + i * 700
+            g[s : s + 200] = amp
+
+        calls = []
+        orig = MerPCR._rescan_tile
+
+        def counting(self, *a, **k):
+            calls.append(a)
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(MerPCR, "_rescan_tile", counting)
+        e = MerPCR()
+        sts = tmp_path / "s.sts"
+        sts.write_text(f"S1\t{P1}\t{P2}\t200\n")
+        assert e.load_sts_file(str(sts))
+        out = search_text(e, f">g\n{''.join(g)}\n", tmp_path)
+        assert len(out.splitlines()) == n_plant
+        assert calls == [], "default caps must absorb realistic hit density"
