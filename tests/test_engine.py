@@ -251,3 +251,28 @@ class TestRealisticDensityCapacity:
         out = search_text(e, f">g\n{''.join(g)}\n", tmp_path)
         assert len(out.splitlines()) == n_plant
         assert calls == [], "default caps must absorb realistic hit density"
+
+
+class TestReproducibility:
+    def test_repeated_runs_identical(self, eng, tmp_path):
+        """5 searches of the same inputs produce byte-identical output
+        (the reference CI's reproducibility job, ci.yml:562-589)."""
+        fa = f">g\n{make_genome(3000, 200, 3000, '+')}\n"
+        outs = {search_text(eng, fa, tmp_path) for _ in range(5)}
+        assert len(outs) == 1 and outs.pop() != ""
+
+    def test_concurrent_instances(self, tmp_path):
+        """Interleaved searches from two independent engines don't share
+        state (device plane caches key on the owning arrays)."""
+        fa_a = f">a\n{make_genome(1000, 200, 1000, '+')}\n"
+        fa_b = f">b\n{make_genome(2000, 200, 500, '-')}\n"
+        sts = tmp_path / "s.sts"
+        sts.write_text(f"S1\t{P1}\t{P2}\t200\tAL\n")
+        e1, e2 = MerPCR(), MerPCR(margin=120)
+        assert e1.load_sts_file(str(sts)) and e2.load_sts_file(str(sts))
+        a1 = search_text(e1, fa_a, tmp_path)
+        b1 = search_text(e2, fa_b, tmp_path)
+        a2 = search_text(e1, fa_a, tmp_path)
+        b2 = search_text(e2, fa_b, tmp_path)
+        assert a1 == a2 and b1 == b2
+        assert a1.startswith("a\t") and b1.startswith("b\t")
