@@ -667,115 +667,149 @@ def _scan_tile_impl(
         return _stopped(p1_ok)
 
     # ---- compact anchors ---------------------------------------------------
-    (a_idx,) = jnp.nonzero(p1_ok, size=cfg.anch_cap, fill_value=0)
     anch_total = jnp.sum(p1_ok.astype(jnp.int32))
-    alane = jax.lax.broadcasted_iota(jnp.int32, (cfg.anch_cap,), 0)
-    avalid = alane < anch_total
 
-    ak = kg[a_idx]
-    aentry = entry[a_idx]
-    al1 = l1[a_idx]
-    aem = table.emeta[aentry]
-    al2 = aem[:, 2]
-    aorder = a_idx  # pair index == within-tile emission major key
+    def _margin_stage():
+        """Anchor compaction + margin-window primer2 verify + emission.
 
-    # ---- 7. margin-window primer2 verify (engine.py:517-593) --------------
-    exp0 = aem[:, 3]
-    avail = record_len - (ak + al1)
-    room = avail >= al2  # engine.py:524-525
-    actual = record_len - ak  # engine.py:528
-    clamped = exp0 > actual
-    exp = jnp.where(clamped, actual, exp0)  # engine.py:531-535
-    hi = jnp.where(clamped, 0, jnp.minimum(Mdyn, record_len - ak - exp))
-    lo = jnp.clip(jnp.minimum(Mdyn, exp - al1 - al2), 0)  # engine.py:538-540
+        Runs only when the tile has >= 1 real anchor (lax.cond below):
+        in random-STS workloads virtually no candidate survives the full
+        primer1 verify, so nearly every tile skips all O(anch_cap) work
+        here at runtime."""
+        (a_idx,) = jnp.nonzero(p1_ok, size=cfg.anch_cap, fill_value=0)
+        alane = jax.lax.broadcasted_iota(jnp.int32, (cfg.anch_cap,), 0)
+        avalid = alane < anch_total
 
-    # rank r -> window offset d: r=0 -> 0; odd r -> -(r+1)//2; even r -> r//2
-    # (expected first, then -1, +1, -2, +2, … — engine.py:543-593)
-    ranks = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
-    dmag = (ranks + 1) // 2
-    d = jnp.where(ranks % 2 == 1, -dmag, dmag)  # int32[R]
+        ak = kg[a_idx]
+        aentry = entry[a_idx]
+        al1 = l1[a_idx]
+        aem = table.emeta[aentry]
+        al2 = aem[:, 2]
+        aorder = a_idx  # pair index == within-tile emission major key
 
-    p2 = ak[:, None] + exp[:, None] - al2[:, None] + d[None, :]
-    struct = p2 + al2[:, None] <= record_len
-    # k + len_p1 <= p2 is checked for d <= 0 only (engine.py:546, 568; the
-    # hi loop at engine.py:581-583 omits it)
-    struct &= jnp.where(d[None, :] <= 0, p2 >= ak[:, None] + al1[:, None], True)
-    rmask = jnp.where(
-        d[None, :] == 0,
-        True,
-        jnp.where(d[None, :] < 0, dmag[None, :] <= lo[:, None], dmag[None, :] <= hi[:, None]),
+        # ---- 7. margin-window primer2 verify (engine.py:517-593) ----------
+        exp0 = aem[:, 3]
+        avail = record_len - (ak + al1)
+        room = avail >= al2  # engine.py:524-525
+        actual = record_len - ak  # engine.py:528
+        clamped = exp0 > actual
+        exp = jnp.where(clamped, actual, exp0)  # engine.py:531-535
+        hi = jnp.where(clamped, 0, jnp.minimum(Mdyn, record_len - ak - exp))
+        lo = jnp.clip(jnp.minimum(Mdyn, exp - al1 - al2), 0)  # engine.py:538-540
+
+        # rank r -> window offset d: r=0 -> 0; odd -> -(r+1)//2; even -> r//2
+        # (expected first, then -1, +1, -2, +2, … — engine.py:543-593)
+        ranks = jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
+        dmag = (ranks + 1) // 2
+        d = jnp.where(ranks % 2 == 1, -dmag, dmag)  # int32[R]
+
+        p2 = ak[:, None] + exp[:, None] - al2[:, None] + d[None, :]
+        struct = p2 + al2[:, None] <= record_len
+        # k + len_p1 <= p2 is checked for d <= 0 only (engine.py:546, 568;
+        # the hi loop at engine.py:581-583 omits it)
+        struct &= jnp.where(
+            d[None, :] <= 0, p2 >= ak[:, None] + al1[:, None], True
+        )
+        rmask = jnp.where(
+            d[None, :] == 0,
+            True,
+            jnp.where(
+                d[None, :] < 0,
+                dmag[None, :] <= lo[:, None],
+                dmag[None, :] <= hi[:, None],
+            ),
+        )
+
+        # gather the window region once per anchor, then compare all R shifts
+        span = 2 * M + cfg.p2_max
+        wbase_l = (ak + exp - al2 - M) - tile_start + LEAD
+        NRw = -(-(15 + span // 2 + 1) // 16)
+        if cfg.packed and TB % 32 == 0 and TB >= 32 * NRw:
+            # per-ROW gather cost: anch_cap * NRw rows instead of
+            # anch_cap * span element gathers (default_config sizes the
+            # halos so every real anchor's window fetch stays in-plane)
+            wb = _row_window(tile_bytes, TB, wbase_l, span)  # [ANCH, span]
+        else:
+            jjj = jax.lax.broadcasted_iota(
+                jnp.int32, (cfg.anch_cap, span), 1
+            )
+            wb = plane_at(wbase_l[:, None] + jjj)  # [ANCH, span]
+
+        i2 = jax.lax.broadcasted_iota(jnp.int32, (R, cfg.p2_max), 1)
+        if R <= 257:
+            # rank offsets are compile-time constants, so each rank's
+            # window is a contiguous STATIC slice of wb (vector loads) —
+            # not a per-element gather over anch_cap * R * p2_max
+            # indices. Only worth it while R stays small (compile time
+            # scales with R).
+            sb2 = jnp.stack(
+                [
+                    jax.lax.slice_in_dim(
+                        wb, M + _rank_d(r), M + _rank_d(r) + cfg.p2_max,
+                        axis=1,
+                    )
+                    for r in range(R)
+                ],
+                axis=1,
+            )  # [ANCH, R, P2MAX]
+        else:
+            off = M + d[:, None] + i2  # static-range offsets in [0, span)
+            sb2 = wb[:, off]  # [ANCH, R, P2MAX] statically-known gather
+        if cfg.packed:
+            if cfg.iupac:  # expansion-set intersection, all-arithmetic
+                m2 = (
+                    _exp_nib_select(sb2) & table.p2_exp[aentry][:, None, :]
+                ) != 0
+            else:
+                pb2 = table.p2_codes[aentry].astype(jnp.int32)
+                m2 = sb2 == pb2[:, None, :]
+        else:
+            pb2 = table.p2_bytes[aentry].astype(jnp.int32)
+            if cfg.iupac:
+                m2 = table.match[sb2 * 256 + pb2[:, None, :]] != 0
+            else:
+                m2 = _byte_fold(sb2) == _byte_fold(pb2)[:, None, :]
+        act2 = i2[None, :, :] < al2[:, None, None]
+        mm2 = act2 & ~m2
+        prot2 = i2[None, :, :] < X  # '-': first X bases (engine.py:610-611)
+        p2_ok = ~jnp.any(mm2 & prot2, axis=2) & (jnp.sum(mm2, axis=2) <= NMM)
+
+        hitmask = avalid[:, None] & room[:, None] & rmask & struct & p2_ok
+
+        # ---- hit emission --------------------------------------------------
+        flat = hitmask.reshape(-1)  # anchor-major, rank-minor == emission
+        (hidx,) = jnp.nonzero(flat, size=cfg.hit_cap, fill_value=0)
+        hit_total = jnp.sum(flat.astype(jnp.int32))
+        a_of = hidx // R
+        r_of = hidx % R
+        hp2 = p2[a_of, r_of]
+        return (
+            hit_total,
+            ak[a_of],
+            hp2 + al2[a_of] - 1,
+            aentry[a_of],
+            aorder[a_of],
+            r_of,
+        )
+
+    def _no_anchors():
+        zh = jnp.zeros((cfg.hit_cap,), jnp.int32)
+        return jnp.int32(0), zh, zh, zh, zh, zh
+
+    hit_total, pos1, pos2, entry_o, pair_order, rank = jax.lax.cond(
+        anch_total > 0, _margin_stage, _no_anchors
     )
-
-    # gather the window region once per anchor, then compare all R shifts
-    span = 2 * M + cfg.p2_max
-    wbase_l = (ak + exp - al2 - M) - tile_start + LEAD
-    NRw = -(-(15 + span // 2 + 1) // 16)
-    if cfg.packed and TB % 32 == 0 and TB >= 32 * NRw:
-        # per-ROW gather cost: anch_cap * NRw rows instead of
-        # anch_cap * span element gathers (default_config sizes the tail
-        # so every real anchor's full window fetch stays in the plane)
-        wb = _row_window(tile_bytes, TB, wbase_l, span)  # [ANCH, span]
-    else:
-        jjj = jax.lax.broadcasted_iota(jnp.int32, (cfg.anch_cap, span), 1)
-        wb = plane_at(wbase_l[:, None] + jjj)  # [ANCH, span]
-
-    i2 = jax.lax.broadcasted_iota(jnp.int32, (R, cfg.p2_max), 1)
-    if R <= 257:
-        # rank offsets are compile-time constants, so each rank's window
-        # is a contiguous STATIC slice of wb (vector loads) — not a per-
-        # element gather over anch_cap * R * p2_max indices. Unrolling is
-        # only worth it while R stays small (compile time scales with R).
-        sb2 = jnp.stack(
-            [
-                jax.lax.slice_in_dim(
-                    wb, M + _rank_d(r), M + _rank_d(r) + cfg.p2_max, axis=1
-                )
-                for r in range(R)
-            ],
-            axis=1,
-        )  # [ANCH, R, P2MAX]
-    else:
-        off = M + d[:, None] + i2  # static-range offsets in [0, span)
-        sb2 = wb[:, off]  # [ANCH, R, P2MAX] statically-known gather
-    if cfg.packed:
-        if cfg.iupac:  # expansion-set intersection, all-arithmetic
-            m2 = (
-                _exp_nib_select(sb2) & table.p2_exp[aentry][:, None, :]
-            ) != 0
-        else:
-            pb2 = table.p2_codes[aentry].astype(jnp.int32)
-            m2 = sb2 == pb2[:, None, :]
-    else:
-        pb2 = table.p2_bytes[aentry].astype(jnp.int32)
-        if cfg.iupac:
-            m2 = table.match[sb2 * 256 + pb2[:, None, :]] != 0
-        else:
-            m2 = _byte_fold(sb2) == _byte_fold(pb2)[:, None, :]
-    act2 = i2[None, :, :] < al2[:, None, None]
-    mm2 = act2 & ~m2
-    prot2 = i2[None, :, :] < X  # '-' strand: first X bases (engine.py:610-611)
-    p2_ok = ~jnp.any(mm2 & prot2, axis=2) & (jnp.sum(mm2, axis=2) <= NMM)
-
-    hitmask = avalid[:, None] & room[:, None] & rmask & struct & p2_ok
-
-    # ---- hit emission ------------------------------------------------------
-    flat = hitmask.reshape(-1)  # anchor-major, rank-minor == emission order
-    (hidx,) = jnp.nonzero(flat, size=cfg.hit_cap, fill_value=0)
-    hit_total = jnp.sum(flat.astype(jnp.int32))
-    a_of = hidx // R
-    r_of = hidx % R
-    hp2 = p2[a_of, r_of]
     return ScanOut(
         c_total=c_total,
         pos_total=pos_total,
         pair_total=pair_total,
         anch_total=anch_total,
         hit_total=hit_total,
-        pos1=ak[a_of],
-        pos2=hp2 + al2[a_of] - 1,
-        entry=aentry[a_of],
-        pair_order=aorder[a_of],
-        rank=r_of,
+        pos1=pos1,
+        pos2=pos2,
+        entry=entry_o,
+        pair_order=pair_order,
+        rank=rank,
     )
 
 
