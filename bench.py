@@ -56,6 +56,47 @@ def gen_data(
     return sts_path, fa_path, n
 
 
+def _ensure_live_backend(probe_timeout_s: int = 240) -> None:
+    """Fall back to CPU when the TPU tunnel is wedged.
+
+    The axon sitecustomize initializes the remote backend in every python
+    process, and a stale device lease can block ``jax.devices()``
+    indefinitely — even a hung benchmark reports nothing. Probe backend
+    init in a SUBPROCESS with a timeout; on failure, strip the tunnel
+    gate (PALLAS_AXON_POOL_IPS) so this process initializes pure-CPU jax
+    and still prints its JSON line (detail.backend records which)."""
+    import subprocess
+
+    if (
+        os.environ.get("JAX_PLATFORMS", "") == "cpu"
+        or os.environ.get("MERPCR_BENCH_CPU_FALLBACK")
+        or not os.environ.get("PALLAS_AXON_POOL_IPS")
+    ):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=probe_timeout_s,
+            check=True,
+            capture_output=True,
+        )
+    except Exception:
+        print(
+            "bench: TPU backend init failed/timed out; falling back to CPU",
+            file=sys.stderr,
+        )
+        # The tunnel backend was already registered at interpreter boot
+        # (sitecustomize), so an in-process switch cannot work — re-exec
+        # with the gate stripped so this process never touches it.
+        env = dict(
+            os.environ,
+            PALLAS_AXON_POOL_IPS="",
+            JAX_PLATFORMS="cpu",
+            MERPCR_BENCH_CPU_FALLBACK="1",
+        )
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def main():
     ap = argparse.ArgumentParser()
     # default mirrors BASELINE.json config #2 scale (human chr21 ~47 Mbp)
@@ -73,6 +114,7 @@ def main():
     )
     args = ap.parse_args()
 
+    _ensure_live_backend()
     import merpcr_tpu
 
     with tempfile.TemporaryDirectory() as td:
