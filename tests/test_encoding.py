@@ -135,3 +135,31 @@ def test_iupac_exp_masks_equivalent_to_nib_match():
     got = (exp_nib[:, None] & exp_primer[None, :]) != 0
     assert got.shape == (16, N_PRIMER_CODES)
     assert (got == (want != 0)).all()
+
+
+def test_row_window_matches_element_gather():
+    """_row_window (16-byte row fetch + barrel shift + nibble interleave)
+    must equal the per-element nibble gather for every in-bounds window
+    start, odd and even."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from merpcr_tpu.ops.scan import _row_window
+
+    rng = np.random.default_rng(9)
+    TB = 1024  # positions; 512 packed bytes (multiple of 32)
+    packed = rng.integers(0, 256, TB // 2).astype(np.uint8)
+    n_out = 27  # odd width crosses rows
+
+    def ref_at(p):
+        idx = np.clip(p + np.arange(n_out), 0, TB - 1)
+        b = packed[idx >> 1].astype(np.int64)
+        return np.where((idx & 1) == 0, b & 15, b >> 4)
+
+    starts = np.array(
+        [0, 1, 2, 15, 16, 17, 31, 32, 33, 500, 501, TB - n_out - 64],
+        dtype=np.int32,
+    )
+    got = np.asarray(_row_window(jnp.asarray(packed), TB, jnp.asarray(starts), n_out))
+    for i, s in enumerate(starts):
+        assert (got[i] == ref_at(int(s))).all(), s
