@@ -229,20 +229,24 @@ class MerPCR:
     def _scan_record(
         self, seq: np.ndarray, packed_rec: Optional[np.ndarray] = None
     ) -> np.ndarray:
-        """Run the device pipeline over one record.
+        """Run the device pipeline over one record (dispatch + collect)."""
+        return self._collect_record(self._dispatch_record(seq, packed_rec))
 
-        Returns an int64 array of shape (n_hits, 6) with columns
-        (pos1, pos2, entry, tile_idx, pair_order, rank), global 0-based.
+    def _dispatch_record(
+        self, seq: np.ndarray, packed_rec: Optional[np.ndarray] = None
+    ):
+        """Phase 1: enqueue ALL device work for one record without
+        blocking, so the next record's host-side prep (plane packing,
+        dispatch) overlaps this record's device compute. Returns an
+        opaque context for :meth:`_collect_record`.
 
-        All tiles of a record run in ONE device call (lax.map); the rare
-        tile that overflows a fixed buffer capacity is retried individually
-        with escalated capacities.
-        """
+        The mesh (shard_map) path currently collects inline — multi-chip
+        dispatch already amortizes across shards."""
         from .ops.scan import get_record_scan_fn
 
         n = len(seq)
         if n <= self.wordsize:  # reference engine.py:458-459 (note <=)
-            return np.zeros((0, 6), dtype=np.int64)
+            return ("empty",)
         total_scan = n - self.wordsize + 1
         tile_len = self._tile_len_override or self._pick_tile_len(total_scan)
         # packed (4-bit) plane whenever the sequence is within the 16-letter
@@ -308,10 +312,28 @@ class MerPCR:
                 )
                 for g in range(n_groups)
             ]
+            return ("pend", cfg0, n_tiles, pend, seq, n)
+        return ("out", cfg0, n_tiles, out, seq, n)
+
+    def _collect_record(self, ctx) -> np.ndarray:
+        """Phase 2: block on the record's device results and post-process.
+
+        Returns an int64 array of shape (n_hits, 6) with columns
+        (pos1, pos2, entry, tile_idx, pair_order, rank), global 0-based.
+        The rare tile that overflows a fixed buffer capacity is retried
+        individually with escalated capacities."""
+        if ctx[0] == "empty":
+            return np.zeros((0, 6), dtype=np.int64)
+        _, cfg0, n_tiles, payload, seq, n = ctx
+        if ctx[0] == "pend":
             import jax
 
-            host = jax.device_get(pend)  # one bulk D2H for all groups
-            out = type(pend[0])(*(np.concatenate(cols) for cols in zip(*host)))
+            host = jax.device_get(payload)  # one bulk D2H for all groups
+            out = type(payload[0])(
+                *(np.concatenate(cols) for cols in zip(*host))
+            )
+        else:
+            out = payload
 
         c_tot = np.asarray(out.c_total)
         x_tot = np.asarray(out.pos_total)
@@ -445,20 +467,38 @@ class MerPCR:
         search_t0 = time.time()
         total_bp = 0
 
+        have_table = self._meta is not None and self._meta.n_entries > 0
+        if have_table:
+            from .io.fasta import record_packed
+
+        def _dispatch(i: int):
+            if not have_table:
+                return None
+            rec = fasta_records[i]
+            return self._dispatch_record(
+                record_seq_bytes(rec), record_packed(rec)
+            )
+
         try:
-            for record in fasta_records:
+            # depth-1 prefetch: record i+1's host-side prep + dispatch
+            # overlap record i's device compute and host post-processing
+            # (per-record serialization otherwise dominates many-contig
+            # workloads — dispatch latency + D2H sync per record)
+            ctx_next = _dispatch(0) if fasta_records else None
+            for i, record in enumerate(fasta_records):
                 seq_label = record.label
-                seq = record_seq_bytes(record)
-                seq_len = len(seq)
+                seq_len = len(record.sequence)
                 logger.info(f"Processing sequence: {seq_label} ({seq_len} bp)")
 
                 t0 = time.time()
-                if self._meta is None or self._meta.n_entries == 0:
+                ctx = ctx_next
+                ctx_next = (
+                    _dispatch(i + 1) if i + 1 < len(fasta_records) else None
+                )
+                if ctx is None:
                     arr = np.zeros((0, 6), dtype=np.int64)
                 else:
-                    from .io.fasta import record_packed
-
-                    arr = self._scan_record(seq, record_packed(record))
+                    arr = self._collect_record(ctx)
 
                 if len(arr):
                     # Reproduce T=1 ordering: stable sort by pos1 over hits
