@@ -376,6 +376,100 @@ class MerPCR:
             return np.zeros((0, 6), dtype=np.int64)
         return np.concatenate(chunks, axis=0)
 
+    # Max single-tile records batched into one device call (padded to a
+    # power-of-two bucket so a handful of compiled programs covers all
+    # batch sizes). Scaffold-heavy FASTA would otherwise pay per-record
+    # dispatch latency that exceeds each record's compute.
+    BATCH_MAX = 64
+
+    def _dispatch_batch(self, items):
+        """Phase 1 for a RUN of consecutive single-tile packed records:
+        one stacked plane H2D + one dispatch scans them all.
+
+        ``items``: list of (seq_bytes, packed_rec) with
+        len(seq) - W + 1 <= tile bucket for the run's max record."""
+        from .ops.scan import get_batch_scan_fn
+
+        B = len(items)
+        tile_len = self._tile_len_override or self._pick_tile_len(
+            max(len(s) - self.wordsize + 1 for s, _ in items)
+        )
+        cfg0 = self._base_config(tile_len, packed=True)
+        bucket = 2
+        while bucket < B:
+            bucket *= 2
+        buf_in = cfg0.tile_buf_in
+
+        owner0 = items[0][1]
+        cache = self._device_plane_cache.setdefault(id(owner0), {})
+        cache["_owner"] = owner0
+        ck = (
+            "batch", bucket, cfg0.lead, cfg0.tail, cfg0.tile_len,
+            tuple(id(p) for _, p in items),
+        )
+        cached = cache.get(ck)
+        if cached is None:
+            planes = np.zeros((bucket, buf_in), dtype=np.uint8)
+            for b, (_seq, packed_rec) in enumerate(items):
+                planes[b, cfg0.lead // 2 : cfg0.lead // 2 + len(packed_rec)] = (
+                    packed_rec
+                )
+            import jax
+
+            if len(self._device_plane_cache) > 64:
+                self._device_plane_cache.clear()
+                cache = self._device_plane_cache.setdefault(id(owner0), {})
+                cache["_owner"] = owner0
+            # keep every packed record alive while its id keys the cache
+            cached = (jax.device_put(planes), [p for _, p in items])
+            cache[ck] = cached
+        planes_dev = cached[0]
+
+        total_scan = np.zeros(bucket, dtype=np.int32)
+        record_len = np.zeros(bucket, dtype=np.int32)
+        for b, (seq, _p) in enumerate(items):
+            total_scan[b] = len(seq) - self.wordsize + 1
+            record_len[b] = len(seq)
+        fn = get_batch_scan_fn(cfg0, bucket)
+        pend = fn(
+            self._table,
+            planes_dev,
+            np.zeros(bucket, dtype=np.int32),
+            total_scan,
+            record_len,
+            self._runtime_params(),
+        )
+        return ("batch", cfg0, items, pend)
+
+    def _collect_batch(self, ctx):
+        """Phase 2 for a batch: returns one (n_hits, 6) array per item."""
+        import jax
+
+        _, cfg0, items, pend = ctx
+        out = jax.device_get(pend)
+        overflow = (
+            (out.c_total > cfg0.cpos_cap)
+            | (out.pos_total > cfg0.pos_cap)
+            | (out.pair_total > cfg0.cand_cap)
+            | (out.anch_total > cfg0.anch_cap)
+            | (out.hit_total > cfg0.hit_cap)
+        )
+        arrs = []
+        for b, (seq, _p) in enumerate(items):
+            if overflow[b]:
+                arrs.append(self._rescan_tile(cfg0, seq, len(seq), 0))
+                continue
+            ht = int(out.hit_total[b])
+            rows = np.empty((ht, 6), dtype=np.int64)
+            rows[:, 0] = out.pos1[b, :ht]
+            rows[:, 1] = out.pos2[b, :ht]
+            rows[:, 2] = out.entry[b, :ht]
+            rows[:, 3] = 0
+            rows[:, 4] = out.pair_order[b, :ht]
+            rows[:, 5] = out.rank[b, :ht]
+            arrs.append(rows)
+        return arrs
+
     def _rescan_tile(
         self, cfg0: ScanConfig, seq: np.ndarray, n: int, tile_idx: int
     ) -> np.ndarray:
@@ -471,53 +565,113 @@ class MerPCR:
         if have_table:
             from .io.fasta import record_packed
 
-        def _dispatch(i: int):
+        # Dispatch plan: consecutive SINGLE-TILE packed records batch into
+        # one device call (scaffold-heavy FASTA would otherwise pay a
+        # full dispatch latency per tiny record); everything else goes
+        # through the per-record path. Order == FASTA order throughout.
+        plan = []
+        if have_table and self.mesh is None:
+            run: List[int] = []
+
+            def _flush():
+                if len(run) >= 2:
+                    plan.append(("batch", run.copy()))
+                else:
+                    plan.extend(("single", j) for j in run)
+                run.clear()
+
+            for i, rec in enumerate(fasta_records):
+                ts = len(rec.sequence) - self.wordsize + 1
+                bucket = self._tile_len_override or self._pick_tile_len(
+                    max(ts, 1)
+                )
+                if (
+                    ts > 0
+                    and ts <= bucket
+                    and record_packed(rec) is not None
+                ):
+                    run.append(i)
+                    if len(run) >= self.BATCH_MAX:
+                        _flush()
+                else:
+                    _flush()
+                    plan.append(("single", i))
+            _flush()
+        else:
+            plan = [("single", i) for i in range(len(fasta_records))]
+
+        def _dispatch_item(item):
             if not have_table:
                 return None
-            rec = fasta_records[i]
-            return self._dispatch_record(
-                record_seq_bytes(rec), record_packed(rec)
+            kind, v = item
+            if kind == "single":
+                rec = fasta_records[v]
+                return self._dispatch_record(
+                    record_seq_bytes(rec), record_packed(rec)
+                )
+            return self._dispatch_batch(
+                [
+                    (
+                        record_seq_bytes(fasta_records[j]),
+                        record_packed(fasta_records[j]),
+                    )
+                    for j in v
+                ]
             )
 
         try:
-            # depth-1 prefetch: record i+1's host-side prep + dispatch
-            # overlap record i's device compute and host post-processing
-            # (per-record serialization otherwise dominates many-contig
-            # workloads — dispatch latency + D2H sync per record)
-            ctx_next = _dispatch(0) if fasta_records else None
-            for i, record in enumerate(fasta_records):
-                seq_label = record.label
-                seq_len = len(record.sequence)
-                logger.info(f"Processing sequence: {seq_label} ({seq_len} bp)")
-
+            # depth-1 prefetch: the next plan item's host-side prep +
+            # dispatch overlap this item's device compute and host post-
+            # processing (per-record serialization otherwise dominates
+            # many-contig workloads — dispatch latency + D2H per record)
+            ctx_next = _dispatch_item(plan[0]) if plan else None
+            for pi, item in enumerate(plan):
                 t0 = time.time()
                 ctx = ctx_next
                 ctx_next = (
-                    _dispatch(i + 1) if i + 1 < len(fasta_records) else None
+                    _dispatch_item(plan[pi + 1])
+                    if pi + 1 < len(plan)
+                    else None
                 )
-                if ctx is None:
-                    arr = np.zeros((0, 6), dtype=np.int64)
+                if item[0] == "single":
+                    idxs = [item[1]]
+                    arrs = [
+                        self._collect_record(ctx)
+                        if ctx is not None
+                        else np.zeros((0, 6), dtype=np.int64)
+                    ]
                 else:
-                    arr = self._collect_record(ctx)
+                    idxs = item[1]
+                    arrs = self._collect_batch(ctx)
 
-                if len(arr):
-                    # Reproduce T=1 ordering: stable sort by pos1 over hits
-                    # emitted scan-order (tile, pair, rank) — engine.py:434
-                    # + SURVEY.md §2.1 emission-order contract.
-                    key = np.lexsort((arr[:, 5], arr[:, 4], arr[:, 3], arr[:, 0]))
-                    arr = arr[key]
-                    e2r = self._meta.entry_to_record
-                    for pos1, pos2, entry, _t, _o, _r in arr:
-                        sts = self.sts_records[int(e2r[int(entry)])]
-                        print(
-                            f"{seq_label}\t{pos1 + 1}..{pos2 + 1}\t{sts.id}\t{sts.alias}\t({sts.direct})",
-                            file=output,
+                for j, arr in zip(idxs, arrs):
+                    record = fasta_records[j]
+                    seq_label = record.label
+                    seq_len = len(record.sequence)
+                    logger.info(
+                        f"Processing sequence: {seq_label} ({seq_len} bp)"
+                    )
+                    if len(arr):
+                        # Reproduce T=1 ordering: stable sort by pos1 over
+                        # hits emitted scan-order (tile, pair, rank) —
+                        # engine.py:434 + SURVEY.md §2.1 emission contract.
+                        key = np.lexsort(
+                            (arr[:, 5], arr[:, 4], arr[:, 3], arr[:, 0])
                         )
-                    total_hits += len(arr)
-                total_bp += seq_len
-                logger.debug(
-                    "searched %s (%d bp) in %.3fs", seq_label, seq_len, time.time() - t0
-                )
+                        arr = arr[key]
+                        e2r = self._meta.entry_to_record
+                        for pos1, pos2, entry, _t, _o, _r in arr:
+                            sts = self.sts_records[int(e2r[int(entry)])]
+                            print(
+                                f"{seq_label}\t{pos1 + 1}..{pos2 + 1}\t{sts.id}\t{sts.alias}\t({sts.direct})",
+                                file=output,
+                            )
+                        total_hits += len(arr)
+                    total_bp += seq_len
+                    logger.debug(
+                        "searched %s (%d bp) in %.3fs",
+                        seq_label, seq_len, time.time() - t0,
+                    )
         finally:
             if output is not sys.stdout:
                 output.close()

@@ -857,6 +857,30 @@ def get_record_scan_fn(cfg: ScanConfig, n_tiles: int):
     return jax.jit(f)
 
 
+@lru_cache(maxsize=64)
+def get_batch_scan_fn(cfg: ScanConfig, n_rows: int):
+    """Batched scan: ONE device call scans n_rows independent tiles, each
+    with its own plane row and (tile_start, total_scan, record_len)
+    scalars — used to batch many small RECORDS (scaffold-heavy FASTA)
+    into one dispatch, where per-record dispatch latency would otherwise
+    dominate. Padding rows (total_scan <= tile_start) short-circuit via
+    the n_scan <= 0 cond in _scan_tile."""
+
+    def f(table, planes, tile_start, total_scan, record_len, rt):
+        def body(b):
+            n_scan = jnp.clip(
+                total_scan[b] - tile_start[b], 0, cfg.tile_len
+            )
+            return _scan_tile(
+                cfg, table, planes[b], tile_start[b], n_scan,
+                record_len[b], rt,
+            )
+
+        return jax.lax.map(body, jnp.arange(n_rows, dtype=jnp.int32))
+
+    return jax.jit(f)
+
+
 def margin_cap(margin: int) -> int:
     """Shape cap for a runtime margin: next multiple of 64, so nearby
     margins (e.g. a 50..100 sweep) share one compiled program."""
