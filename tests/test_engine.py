@@ -276,3 +276,55 @@ class TestReproducibility:
         b2 = search_text(e2, fa_b, tmp_path)
         assert a1 == a2 and b1 == b2
         assert a1.startswith("a\t") and b1.startswith("b\t")
+
+
+class TestBatchPlan:
+    def test_single_tile_records_batch_into_one_dispatch(self, tmp_path, monkeypatch):
+        """Consecutive small records go through _dispatch_batch (one
+        device call per run), large records through _dispatch_record,
+        and output equals the unbatched path record-for-record."""
+        rng = np.random.default_rng(21)
+        recs_fa = []
+        for c in range(7):
+            n = 150_000 if c == 3 else 9_000  # record 3 is multi-tile-ish
+            s = list("".join(rng.choice(list("ACGT"), size=n)))
+            amp = make_genome(0, 200, 0, "+")
+            s[50 : 250] = amp
+            recs_fa.append(f">r{c}\n{''.join(s)}")
+        fa = "\n".join(recs_fa) + "\n"
+
+        sts = tmp_path / "s.sts"
+        sts.write_text(f"S1\t{P1}\t{P2}\t200\n")
+
+        batch_calls, single_calls = [], []
+
+        def run(counting):
+            e = MerPCR()
+            e._tile_len_override = 16384  # record 3 -> multi-tile
+            assert e.load_sts_file(str(sts))
+            if counting:
+                ob, osd = MerPCR._dispatch_batch, MerPCR._dispatch_record
+
+                def cb(self, items):
+                    batch_calls.append(len(items))
+                    return ob(self, items)
+
+                def cs(self, *a, **k):
+                    single_calls.append(1)
+                    return osd(self, *a, **k)
+
+                monkeypatch.setattr(MerPCR, "_dispatch_batch", cb)
+                monkeypatch.setattr(MerPCR, "_dispatch_record", cs)
+            out = search_text(e, fa, tmp_path)
+            if counting:
+                monkeypatch.setattr(MerPCR, "_dispatch_batch", ob)
+                monkeypatch.setattr(MerPCR, "_dispatch_record", osd)
+            return out
+
+        got = run(True)
+        assert batch_calls == [3, 3]  # runs split around the big record
+        assert single_calls == [1]  # the big record alone
+        assert len(got.splitlines()) == 7
+        # order is FASTA order: r0..r6
+        labels = [ln.split("\t")[0] for ln in got.splitlines()]
+        assert labels == [f"r{c}" for c in range(7)]
