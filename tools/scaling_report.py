@@ -1,0 +1,136 @@
+"""Shard-scaling efficiency report (SURVEY.md §7.6: ">=80% 1->N" target).
+
+Times the mesh-sharded scan (parallel/sharded.py) at increasing shard
+counts over a fixed synthetic workload and reports per-shard-count
+throughput and parallel efficiency vs the 1-shard run.
+
+On this dev box only one real TPU chip is reachable, so by default the
+report runs on a virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_
+device_count=N) — that validates the sharded program's functional scaling
+and collective/launch overheads, not ICI bandwidth. On a real pod slice
+(run with JAX_PLATFORMS=tpu and no forcing) the same script measures true
+multi-chip scaling; the workload is embarrassingly parallel (halo tiles,
+one all_gather of fixed-size hit buffers), so ICI traffic is O(shards),
+independent of genome size.
+
+Usage:
+  python tools/scaling_report.py [--mbp 16] [--nsts 1000] [--devices 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mbp", type=float, default=16.0)
+    ap.add_argument("--nsts", type=int, default=1000)
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual device count when forcing the CPU mesh")
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--log2tile", type=int, default=0,
+                    help="tile length override (0 = auto: 2^17 CPU, 2^21 TPU)")
+    args = ap.parse_args()
+
+    # Force a virtual CPU mesh unless the caller already points at real
+    # multi-device hardware (JAX_PLATFORMS=tpu on a pod slice).
+    #
+    # NOTE (this dev box): the axon sitecustomize registers the tunnel
+    # backend at interpreter start, gated on the SHELL env — run this
+    # script as `PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python
+    # tools/scaling_report.py` for CPU-mesh runs (see CLAUDE.md);
+    # setting os.environ here is too late to stop that registration.
+    if "tpu" not in os.environ.get("JAX_PLATFORMS", "").lower():
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.devices}"
+        )
+
+    import numpy as np
+    import jax
+
+    from merpcr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from merpcr_tpu.engine import MerPCR
+    from merpcr_tpu.parallel import make_mesh
+    from merpcr_tpu.parallel.sharded import sharded_scan_record
+
+    rng = random.Random(7)
+    n = int(args.mbp * 1e6)
+    genome = "".join(rng.choices("ACGT", k=n))
+    with tempfile.TemporaryDirectory() as td:
+        sp = os.path.join(td, "s.sts")
+        with open(sp, "w") as fh:
+            for i in range(args.nsts):
+                p1 = "".join(rng.choices("ACGT", k=22))
+                p2 = "".join(rng.choices("ACGT", k=22))
+                fh.write(f"S{i}\t{p1}\t{p2}\t{rng.randrange(100, 400)}\n")
+        eng = MerPCR()
+        assert eng.load_sts_file(sp)
+
+    seq = np.frombuffer(genome.encode(), dtype=np.uint8)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    log2t = args.log2tile or (17 if on_cpu else 21)
+    cfg = eng._base_config(1 << log2t)
+    table = eng._table
+    rt = eng._runtime_params()
+    devs = jax.devices()
+    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= len(devs)]
+
+    if devs[0].platform == "cpu":
+        print(
+            "NOTE: virtual CPU devices share one host's cores — these\n"
+            "numbers validate the sharded program FUNCTIONALLY (it runs,\n"
+            "output is shard-count-invariant) but wall-clock efficiency\n"
+            "is meaningless here; run on a real pod slice for scaling.",
+            file=sys.stderr,
+        )
+    rows = []
+    base = None
+    for c in counts:
+        mesh = make_mesh(devs[:c])
+        # warm (compile) then time
+        out, ns, tps = sharded_scan_record(
+            cfg, table, seq, eng.wordsize, mesh, rt=rt)
+        jax.tree.map(lambda x: np.asarray(x), out)
+        best = float("inf")
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            out, _, _ = sharded_scan_record(
+                cfg, table, seq, eng.wordsize, mesh, rt=rt)
+            jax.tree.map(lambda x: np.asarray(x), out)
+            best = min(best, time.perf_counter() - t0)
+        mbps = args.mbp / best
+        if base is None:
+            base = best
+        eff = base / (best * c)
+        rows.append({"shards": c, "s": round(best, 4),
+                     "mbp_per_s": round(mbps, 1),
+                     "efficiency_vs_1": round(eff, 3)})
+        print(f"shards={c:3d}  {best*1e3:9.1f} ms  {mbps:9.1f} Mbp/s  "
+              f"eff={eff*100:5.1f}%", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "shard_scaling",
+        "backend": devs[0].platform,
+        "genome_mbp": args.mbp,
+        "n_sts": args.nsts,
+        "rows": rows,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
