@@ -116,3 +116,35 @@ class TestParsePCRSize:
     def test_bad_values_default(self):
         for s in ["", "abc", "0", "-5", "100-", "-100", "50-60-70", "a-b"]:
             assert _parse_pcr_size(s, 240) == 240
+
+
+class TestBatchHash:
+    """The loader's batched first-valid-W-mer hash must equal the scalar
+    implementation (ops.encoding.hash_value_bytes) on every row shape."""
+
+    def test_matches_scalar_randomized(self):
+        import random
+
+        from merpcr_tpu.io.sts import _batch_hash
+        from merpcr_tpu.ops.encoding import encode_bytes, hash_value_bytes
+
+        rng = random.Random(99)
+        alphabet = "ACGTacgtNnRYKMSWBDHVUu*?xz"
+        prims = []
+        for _ in range(300):
+            L = rng.randrange(11, 30)
+            prims.append("".join(rng.choice(alphabet) for _ in range(L)))
+        # fixed corner rows: clean, all-ambiguous, valid window only at end
+        prims += ["A" * 11, "N" * 15, "N" * 7 + "ACGTACGTACG", "acgtacgtacg"]
+        for W in (3, 11, 16):
+            lens = np.array([len(p) for p in prims], dtype=np.int64)
+            Lmax = int(lens.max())
+            j = np.arange(Lmax)
+            inrow = j[None, :] < lens[:, None]
+            pad = np.zeros((len(prims), Lmax), dtype=np.uint8)
+            pad[inrow] = encode_bytes("".join(prims))
+            offs, hs = _batch_hash(pad, inrow, W)
+            for i, p in enumerate(prims):
+                o_ref, h_ref = hash_value_bytes(encode_bytes(p), W)
+                assert offs[i] == o_ref, (W, p)
+                assert hs[i] == h_ref, (W, p)
