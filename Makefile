@@ -8,11 +8,11 @@ PY ?= python
 CPUENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
 .PHONY: test test-unit test-integration test-cli test-parallel test-perf \
-        bench fuzz baseline deps native clean help
+        bench fuzz scaling baseline deps native clean help
 
 help:
 	@echo "targets: test test-unit test-integration test-cli test-parallel"
-	@echo "         test-perf bench fuzz baseline deps native clean"
+	@echo "         test-perf bench fuzz scaling baseline deps native clean"
 
 test:
 	$(CPUENV) $(PY) -m pytest tests/ -q
@@ -37,6 +37,9 @@ bench:
 
 fuzz:
 	$(CPUENV) $(PY) tools/difffuzz.py 30 0
+
+scaling:
+	$(CPUENV) $(PY) tools/scaling_report.py
 
 baseline:
 	$(PY) scripts/performance_baseline.py establish
