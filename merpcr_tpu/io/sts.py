@@ -82,7 +82,9 @@ class STSLoadResult:
     p1_lens: np.ndarray = None  # int32[E]
     p2_lens: np.ndarray = None  # int32[E]
     pcr_sizes: np.ndarray = None  # int32[E]
-    p1_list: List[np.ndarray] = field(default_factory=list)  # uint8 arrays
+    # Per-entry primer byte arrays — populated only on hand-built results
+    # (the loader leaves these empty and fills p1_pad/p2_pad instead).
+    p1_list: List[np.ndarray] = field(default_factory=list)
     p2_list: List[np.ndarray] = field(default_factory=list)
     # Zero-padded (E, Lmax) primer byte matrices (same rows as `records`);
     # lets the table compiler skip a per-entry padding loop.
@@ -212,8 +214,9 @@ class STSLoader:
             )
             res.p1_pad = pad[src1]
             res.p2_pad = np.where(isr[:, None], rcpad1[li], pad[li + N])
-            res.p1_list = [res.p1_pad[k, : res.p1_lens[k]] for k in range(E)]
-            res.p2_list = [res.p2_pad[k, : res.p2_lens[k]] for k in range(E)]
+            # p1_list/p2_list stay empty: the table compiler reads the
+            # padded matrices directly; the per-entry list form exists
+            # only for hand-built STSLoadResults (p1_pad is None).
 
             rc1_strs = {}
             for k in range(E):

@@ -67,26 +67,17 @@ def _get_sharded_fn(cfg: ScanConfig, n_shards: int, tiles_per_shard: int,
     return jax.jit(run, static_argnums=0)
 
 
-def sharded_scan_record(
-    cfg: ScanConfig,
-    table: DeviceTable,
-    seq: np.ndarray,
-    wordsize: int,
-    mesh: Mesh,
-    axis: str = "shard",
-    rt: np.ndarray | None = None,
+def shard_planes(
+    cfg: ScanConfig, seq: np.ndarray, wordsize: int, n_shards: int
 ):
-    """Scan one record across a device mesh.
+    """Host-side prep: cut a record into per-shard halo-padded byte planes.
 
-    Returns (out, n_shards, tiles_per_shard) where out leaves are shaped
-    (n_shards, tiles_per_shard, ...) — global tile index = shard * tiles + t,
-    matching single-device tile ordering exactly.
-    """
+    Returns (padded_shards uint8[n_shards, buf], tile_start0 int32[n_shards],
+    total_scan, tiles_per_shard). Separated from the device dispatch so
+    benchmarks can time the sharded program without this serial O(genome)
+    NumPy cost (tools/scaling_report.py)."""
     n = len(seq)
-    if rt is None:
-        rt = np.asarray([cfg.margin, 0, 1], dtype=np.int32)
     total_scan = n - wordsize + 1
-    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     L = cfg.tile_len
     n_tiles = -(-total_scan // L)
     tiles_per_shard = -(-n_tiles // n_shards)
@@ -109,8 +100,31 @@ def sharded_scan_record(
             chunk = seq[a:b]
             pos[a - src0 : b - src0] = NIB_LUT[chunk] if cfg.packed else chunk
         padded_shards[s] = pack_nibbles(pos) if cfg.packed else pos
+    return padded_shards, tile_start0, total_scan, tiles_per_shard
 
+
+def sharded_scan_record(
+    cfg: ScanConfig,
+    table: DeviceTable,
+    seq: np.ndarray,
+    wordsize: int,
+    mesh: Mesh,
+    axis: str = "shard",
+    rt: np.ndarray | None = None,
+):
+    """Scan one record across a device mesh.
+
+    Returns (out, n_shards, tiles_per_shard) where out leaves are shaped
+    (n_shards, tiles_per_shard, ...) — global tile index = shard * tiles + t,
+    matching single-device tile ordering exactly.
+    """
+    if rt is None:
+        rt = np.asarray([cfg.margin, 0, 1], dtype=np.int32)
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    padded_shards, tile_start0, total_scan, tiles_per_shard = shard_planes(
+        cfg, seq, wordsize, n_shards
+    )
     fn = _get_sharded_fn(cfg, n_shards, tiles_per_shard, axis)
     out = fn(mesh, table, padded_shards, tile_start0,
-             np.int32(total_scan), np.int32(n), rt)
+             np.int32(total_scan), np.int32(len(seq)), rt)
     return out, n_shards, tiles_per_shard

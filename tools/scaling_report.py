@@ -50,7 +50,9 @@ def main() -> int:
     # tools/scaling_report.py` for CPU-mesh runs (see CLAUDE.md);
     # setting os.environ here is too late to stop that registration.
     if "tpu" not in os.environ.get("JAX_PLATFORMS", "").lower():
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # hard assignment: an ambient JAX_PLATFORMS=axon etc. must not
+        # survive into the virtual-CPU-mesh path
+        os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.devices}"
@@ -65,7 +67,7 @@ def main() -> int:
 
     from merpcr_tpu.engine import MerPCR
     from merpcr_tpu.parallel import make_mesh
-    from merpcr_tpu.parallel.sharded import sharded_scan_record
+    from merpcr_tpu.parallel.sharded import _get_sharded_fn, shard_planes
 
     rng = random.Random(7)
     n = int(args.mbp * 1e6)
@@ -101,15 +103,19 @@ def main() -> int:
     base = None
     for c in counts:
         mesh = make_mesh(devs[:c])
-        # warm (compile) then time
-        out, ns, tps = sharded_scan_record(
-            cfg, table, seq, eng.wordsize, mesh, rt=rt)
+        # host prep ONCE per shard count — the timed region below covers
+        # only the sharded device program (dispatch + all_gather + D2H),
+        # so the fixed serial encode cost doesn't distort efficiency
+        planes, ts0, total_scan, tps = shard_planes(cfg, seq, eng.wordsize, c)
+        fn = _get_sharded_fn(cfg, c, tps)
+        args_dev = (mesh, table, planes, ts0,
+                    np.int32(total_scan), np.int32(len(seq)), rt)
+        out = fn(*args_dev)  # warm (compile)
         jax.tree.map(lambda x: np.asarray(x), out)
         best = float("inf")
         for _ in range(args.repeat):
             t0 = time.perf_counter()
-            out, _, _ = sharded_scan_record(
-                cfg, table, seq, eng.wordsize, mesh, rt=rt)
+            out = fn(*args_dev)
             jax.tree.map(lambda x: np.asarray(x), out)
             best = min(best, time.perf_counter() - t0)
         mbps = args.mbp / best
