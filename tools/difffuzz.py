@@ -131,6 +131,12 @@ def run_engine(pkg, sts_path, fa_path, params):
     tile_override = os.environ.get("MERPCR_TPU_TILE_LEN")
     if tile_override and pkg is tpu_pkg:
         eng._tile_len_override = int(tile_override)
+    if os.environ.get("FUZZ_MESH") and pkg is tpu_pkg:
+        # stress the shard_map path against the oracle (run with
+        # XLA_FLAGS=--xla_force_host_platform_device_count=8)
+        from merpcr_tpu.parallel import make_mesh
+
+        eng.use_mesh(make_mesh())
     if not eng.load_sts_file(sts_path):
         return None
     recs = eng.load_fasta_file(fa_path)
