@@ -93,3 +93,34 @@ def test_end_clamping(oracle_pkg, tmp_path):
         assert _run(oracle_pkg, str(sts), str(fa), params) == _run(
             merpcr_tpu, str(sts), str(fa), params
         ), f"margin={margin}"
+
+
+def test_extreme_params_identical(oracle_pkg, tmp_path):
+    """Parameter extremes the fuzzer under-samples: giant margins (shape
+    caps + windowed gather path), pcr_size clamping in both directions,
+    and the wordsize bounds W=3 / W=16."""
+    import random
+
+    rng = random.Random(3)
+    g = "".join(rng.choices("ACGT", k=3000))
+    p1, p2 = g[500:522], g[700:720]  # real amplicon, size 220
+    sts = tmp_path / "e.sts"
+    sts.write_text(
+        f"S1\t{p1}\t{p2}\t9000\n"      # expected size >> record: clamp path
+        f"S2\t{p1}\t{p2}\t100-340\n"   # range average == exact size
+        f"S3\t{p1}\t{p2}\t4\n"         # pcr_size < len(p1)+len(p2): clamp up
+    )
+    fa = tmp_path / "e.fa"
+    fa.write_text(">edge rec\n" + "\n".join(
+        g[i : i + 60] for i in range(0, len(g), 60)
+    ) + "\n")
+    for params in (
+        dict(margin=2000),
+        dict(margin=2000, wordsize=3),
+        dict(wordsize=3),
+        dict(margin=0, wordsize=16),
+    ):
+        ref_out = _run(oracle_pkg, str(sts), str(fa), params)
+        tpu_out = _run(merpcr_tpu, str(sts), str(fa), params)
+        assert ref_out == tpu_out, params
+        assert ref_out  # non-degenerate: at least one hit somewhere
