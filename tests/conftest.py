@@ -19,6 +19,14 @@ if os.environ.get("MERPCR_TEST_BACKEND", "cpu") == "cpu":
     try:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
+        # Drop any boot-time-registered remote-TPU plugin ('axon' on this
+        # dev box) before backends initialize: a stale device lease there
+        # blocks the first jax.devices() for ~25 min even on CPU runs.
+        # The Makefile blanks the gate env for test targets; this covers
+        # bare `pytest` invocations too.
+        import jax._src.xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
     except Exception:
         pass
 
