@@ -44,42 +44,90 @@ class FASTALoader:
 
         logger.info(f"Reading FASTA file: {filename}")
 
-        records: List[FASTARecord] = []
         with open(filename, "rb") as fh:
             data = fh.read()
 
-        defline: str | None = None
-        parts: list[bytes] = []
-
-        from ..native import fasta_filter
-
-        def flush():
-            if defline is None:
-                return
-            raw = np.frombuffer(b"".join(parts), dtype=np.uint8)
-            filtered = fasta_filter(raw, FASTA_KEEP)
-            rec = FASTARecord(
-                defline=defline, sequence=filtered.tobytes().decode("latin-1")
-            )
-            rec._seq_bytes = filtered  # device-path fast access; str kept for API
-            records.append(rec)
-
-        for line in data.split(b"\n"):
-            s = line.strip()
-            if not s:
-                continue
-            if s.startswith(b">"):
-                flush()
-                defline = s.decode("latin-1")
-                parts = []
-            else:
-                parts.append(s)
-        flush()
+        records = _parse_segments(data)
+        if records is None:  # pathological '>' density: line-loop fallback
+            records = _parse_lines(data)
 
         logger.info(
             f"Loaded {len(records)} sequences in {time.time() - start_time:.2f} seconds"
         )
         return records
+
+
+def _make_record(defline_bytes: bytes, seg: np.ndarray) -> FASTARecord:
+    """Filter a raw segment (newlines/whitespace die in the keep-set filter,
+    exactly like the reference's per-line strip + per-char filter) and wrap
+    it with the cached byte view the device path reads."""
+    from ..native import fasta_filter
+
+    filtered = fasta_filter(seg, FASTA_KEEP)
+    rec = FASTARecord(
+        defline=defline_bytes.strip().decode("latin-1"),
+        sequence=filtered.tobytes().decode("latin-1"),
+    )
+    rec._seq_bytes = filtered  # device-path fast access; str kept for API
+    return rec
+
+
+def _parse_segments(data: bytes) -> "List[FASTARecord] | None":
+    """Vectorized parse: one scan finds defline positions ('>' at a line
+    start, or preceded only by whitespace — the reference strips each line
+    before the startswith('>') test); each record's WHOLE raw segment then
+    goes through the byte filter in one native pass. Behaviorally identical
+    to the reference's line loop: line splitting/stripping only removes
+    whitespace, which the keep-set filter also removes, and non-defline
+    lines are sequence lines in both. Returns None when '>' density is
+    pathological (not realistic FASTA) so the caller can use the exact
+    line-loop fallback."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cand = np.flatnonzero(buf == ord(">"))
+    if len(cand) > 100_000:
+        return None
+    starts: list[int] = []
+    for p in cand.tolist():
+        if p == 0 or data[p - 1] == 10:  # column 0
+            starts.append(p)
+        else:  # '>' after only whitespace still deflines (strip semantics)
+            ls = data.rfind(b"\n", 0, p) + 1
+            if not data[ls:p].strip():
+                starts.append(p)
+    records: List[FASTARecord] = []
+    for i, p in enumerate(starts):
+        e = data.find(b"\n", p)
+        if e < 0:
+            e = len(data)
+        nxt = starts[i + 1] if i + 1 < len(starts) else len(data)
+        records.append(_make_record(data[p:e], buf[e + 1 : nxt]))
+    return records
+
+
+def _parse_lines(data: bytes) -> List[FASTARecord]:
+    """Reference-shaped line loop (fasta.py:19-71) — fallback path."""
+    records: List[FASTARecord] = []
+    defline: bytes | None = None
+    parts: list[bytes] = []
+
+    def flush():
+        if defline is None:
+            return
+        raw = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        records.append(_make_record(defline, raw))
+
+    for line in data.split(b"\n"):
+        s = line.strip()
+        if not s:
+            continue
+        if s.startswith(b">"):
+            flush()
+            defline = s
+            parts = []
+        else:
+            parts.append(s)
+    flush()
+    return records
 
 
 def record_seq_bytes(record: FASTARecord) -> np.ndarray:
