@@ -148,3 +148,52 @@ class TestBatchHash:
                 o_ref, h_ref = hash_value_bytes(encode_bytes(p), W)
                 assert offs[i] == o_ref, (W, p)
                 assert hs[i] == h_ref, (W, p)
+
+
+class TestFASTASegmentParser:
+    """The vectorized segment parser must equal the reference-shaped line
+    loop on adversarial inputs (whitespace-led deflines, mid-line '>',
+    CRLF, no trailing newline, junk before the first defline, …)."""
+
+    def test_parsers_equivalent(self):
+        import random
+
+        from merpcr_tpu.io.fasta import _parse_lines, _parse_segments
+
+        rng = random.Random(11)
+        cases = [
+            b"",
+            b">a\nACGT\n",
+            b">a\nACGT",
+            b"ACGT\n>a\nGGTT\n",
+            b">a desc here\nAC GT\n\n\nGG>TT\n>b\nTTTT\n",
+            b"   >ws defline\r\nacgtNRY\r\n\t>tab defline\nGGGG\n",
+            b">empty1\n>empty2\n>c\nAAAA\n",
+            b">only defline",
+            b"\n\n>x\n\nACGT\n  TTTT  \n",
+            b">a\n0123!@#EFIJLOPQUZacgt\n",
+        ]
+        for _ in range(60):
+            parts = []
+            for _ in range(rng.randrange(1, 12)):
+                r = rng.random()
+                if r < 0.3:
+                    parts.append(b">" + bytes(
+                        rng.choices(b"abc >\tdef", k=rng.randrange(0, 10))))
+                elif r < 0.4:
+                    parts.append(
+                        bytes(rng.choices(b" \t\r", k=rng.randrange(0, 3)))
+                        + b">x" + bytes(rng.choices(b"abc", k=3)))
+                else:
+                    parts.append(bytes(rng.choices(
+                        b"ACGTNRYKacgtu*>x 0\t\r", k=rng.randrange(0, 40))))
+            cases.append(
+                b"\n".join(parts) + (b"\n" if rng.random() < 0.5 else b"")
+            )
+        for d in cases:
+            a = _parse_segments(d)
+            b = _parse_lines(d)
+            assert a is not None
+            ka = [(r.defline, r.sequence) for r in a]
+            kb = [(r.defline, r.sequence) for r in b]
+            assert ka == kb, d[:80]
