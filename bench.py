@@ -25,7 +25,8 @@ REF_MBP_PER_S = 3.2  # BASELINE.md measured: reference CPU, T=1
 
 
 def gen_data(
-    tmpdir: str, n_mbp: float, n_sts: int, seed: int = 42, planted: int = 0
+    tmpdir: str, n_mbp: float, n_sts: int, seed: int = 42, planted: int = 0,
+    n_records: int = 1,
 ):
     """Random genome x random STS; ``planted`` of the STS additionally get
     one real amplicon written into the genome (spread evenly), so the
@@ -49,10 +50,14 @@ def gen_data(
 
     fa_path = os.path.join(tmpdir, "bench.fa")
     genome = "".join(genome)
+    per = max(1, n // n_records)
     with open(fa_path, "w") as fh:
-        fh.write(">bench_seq synthetic\n")
-        for i in range(0, n, 80):
-            fh.write(genome[i : i + 80] + "\n")
+        for r in range(n_records):
+            lo = r * per
+            hi = n if r == n_records - 1 else lo + per
+            fh.write(f">bench_seq_{r} synthetic\n")
+            for i in range(lo, hi, 80):
+                fh.write(genome[i : min(i + 80, hi)] + "\n")
     return sts_path, fa_path, n
 
 
@@ -112,6 +117,11 @@ def main():
         "--planted", type=int, default=0,
         help="plant this many real amplicons (hit-bearing workload)",
     )
+    ap.add_argument(
+        "--records", type=int, default=1,
+        help="split the genome into this many FASTA records "
+        "(scaffold-heavy workload: exercises record batching)",
+    )
     args = ap.parse_args()
 
     _ensure_live_backend()
@@ -119,7 +129,8 @@ def main():
 
     with tempfile.TemporaryDirectory() as td:
         sts_path, fa_path, n = gen_data(
-            td, args.mbp, args.nsts, planted=args.planted
+            td, args.mbp, args.nsts, planted=args.planted,
+            n_records=args.records,
         )
 
         eng = merpcr_tpu.MerPCR(
@@ -155,6 +166,7 @@ def main():
             "detail": {
                 "genome_mbp": args.mbp,
                 "n_sts": args.nsts,
+                "records": args.records,
                 "params": {
                     "M": args.margin, "N": args.mismatches,
                     "X": args.three_prime, "I": args.iupac,
