@@ -155,6 +155,10 @@ class MerPCR:
     # ---------------------------------------------------------------- search
     def _base_config(self, tile_len: int, packed: bool = True) -> ScanConfig:
         m = self._meta
+        # Extension-strict front end is only sound at N == 0 (every active
+        # primer base must match exactly, so extension bases prefilter);
+        # read at search time so N sweeps across searches stay correct.
+        strict = bool(m.strict and self.mismatches == 0 and packed)
         return default_config(
             wordsize=self.wordsize,
             margin=self.margin,
@@ -173,6 +177,12 @@ class MerPCR:
             qbloom_bits=m.qbloom_bits,
             exact_group=m.exact_group,
             n_unique=m.n_unique,
+            strict=strict,
+            t16_bits=m.t16_bits if strict else 0,
+            sq_density=m.sq_density,
+            sp_density=m.sp_density,
+            t16_real=m.t16_real,
+            t16_fp=m.t16_fp,
         )
 
     @staticmethod

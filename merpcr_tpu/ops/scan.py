@@ -102,6 +102,12 @@ class ScanConfig:
     cand_cap: int
     anch_cap: int
     hit_cap: int
+    # Strict (N==0) mode: the front end gathers the extension-strict table
+    # variants (table.qbloom_s / ptab_s), and — when t16_bits > 0 — one
+    # hashed 16-base-window gather per expanded position filters candidates
+    # to ~real-match density before pair expansion (see table._build_strict).
+    strict: bool = False
+    t16_bits: int = 0
 
     @property
     def tile_buf(self) -> int:
@@ -374,6 +380,7 @@ def _scan_tile_impl(
         if stop == "hash":
             return _stopped(*AV, *pvs)
 
+        qb_tab = table.qbloom_s if cfg.strict else table.qbloom
         flags_p = []
         for p in range(P):
             if cfg.exact_group:
@@ -382,7 +389,7 @@ def _scan_tile_impl(
                 bk = (AV[p] * jnp.uint32(0x9E3779B1)) >> (
                     32 - cfg.qbloom_bits
                 )
-            qword = table.qbloom[(bk >> 5).astype(jnp.int32)]
+            qword = qb_tab[(bk >> 5).astype(jnp.int32)]
             hit = ((qword >> (bk & 31)) & 1) == 1
             # Groups whose key span contains an ambiguous base skip the
             # table (their value bits are garbage) and go straight to the
@@ -553,7 +560,8 @@ def _scan_tile_impl(
         if cfg.exact_group:
             keyc = Ac & m2kb
             NPS = 5 - (S_.bit_length() - 1)  # log2(32 / S)
-            wordc = table.ptab[(keyc >> NPS).astype(jnp.int32)]
+            pt_tab = table.ptab_s if cfg.strict else table.ptab
+            wordc = pt_tab[(keyc >> NPS).astype(jnp.int32)]
             nbt = (
                 wordc >> ((keyc & ((1 << NPS) - 1)) * jnp.uint32(S_))
             ) & jnp.uint32((1 << S_) - 1)
@@ -573,12 +581,24 @@ def _scan_tile_impl(
         tq = jax.lax.broadcasted_iota(jnp.int32, (cfg.pos_cap,), 0)
         pos_valid = tq < pos_total
         # everything the position stage needs from its group in ONE 4-col
-        # row gather (gather cost is per ROW on this hardware)
+        # row gather (gather cost is per ROW on this hardware): the B
+        # registers and their ambiguity bits are <= 16 bits each (spill
+        # past the 32-bit A register), and the S_-bit phase nibble packs
+        # into the group index's high byte (cpos < 2^24 at every tile size)
         g2 = jnp.stack(
-            [nb, Ac, Bc, cpos.astype(jnp.uint32)], axis=-1
+            [
+                Ac,
+                Aac,
+                Bc | (Bac << 16),
+                cpos.astype(jnp.uint32) | (nb << 24),
+            ],
+            axis=-1,
         )[srcg]
-        nbg, Acg, Bcg = g2[:, 0], g2[:, 1], g2[:, 2]
-        gposg = g2[:, 3].astype(jnp.int32)
+        Acg, Aacg = g2[:, 0], g2[:, 1]
+        Bcg = g2[:, 2] & jnp.uint32(0xFFFF)
+        Bacg = g2[:, 2] >> 16
+        nbg = g2[:, 3] >> 24
+        gposg = (g2[:, 3] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
         # select the rank-th set bit of the S-bit nibble -> phase
         rb = tq - gexcl
         ph = jnp.zeros_like(rb)
@@ -597,11 +617,31 @@ def _scan_tile_impl(
                 v = v | ((Bcg << (32 - 2 * d)) & m2w)
             phh = jnp.where(ph == d, v, phh)
         pposx = gposg * S_ + ph  # local scan position of each candidate
+        if cfg.strict and cfg.t16_bits:
+            # ONE hashed gather per expanded position: does the FULL
+            # 16-base window starting here match some entry's primer1
+            # prefix (key + extension)? Dirty windows (va16 != 0) bypass —
+            # their candidates keep the reference's ambiguity semantics
+            # through the exact verify. False positives only cost pairs;
+            # false negatives are impossible (table._build_strict).
+            sh16 = jnp.uint32(2) * ph.astype(jnp.uint32)
+            v16 = jnp.where(
+                ph == 0, Acg, (Acg >> sh16) | (Bcg << (32 - sh16))
+            )
+            va16 = jnp.where(
+                ph == 0, Aacg, (Aacg >> sh16) | (Bacg << (32 - sh16))
+            )
+            bk16 = (v16 * jnp.uint32(0x9E3779B1)) >> (32 - cfg.t16_bits)
+            w16 = table.t16[(bk16 >> 5).astype(jnp.int32)]
+            keep16 = (((w16 >> (bk16 & 31)) & 1) == 1) | (va16 != 0)
+            pos_keep = pos_valid & keep16
+        else:
+            pos_keep = pos_valid
         if stop == "pos":
-            return _stopped(phh, pposx)
+            return _stopped(phh, pposx, pos_keep)
 
         # ---- 5b. (position, slot) -> pair expansion ------------------------
-        start, cnt = exact_csr(phh, pos_valid)
+        start, cnt = exact_csr(phh, pos_keep)
         pair_total = jnp.sum(cnt)
         j = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap,), 0)
         srcc, jexcl = _rank_invert(cnt, cfg.cand_cap)
@@ -905,6 +945,12 @@ def default_config(
     qbloom_bits: int = 22,
     exact_group: bool = False,
     n_unique: int = 0,
+    strict: bool = False,
+    t16_bits: int = 0,
+    sq_density: float = 1.0,
+    sp_density: float = 1.0,
+    t16_real: float = 0.0,
+    t16_fp: float = 1.0,
 ) -> ScanConfig:
     """Capacity heuristics.
 
@@ -943,29 +989,45 @@ def default_config(
     if packed:
         # group flagged if any of its S phases is a real bucket key, plus
         # (mult-hash fallback only) bloom false positives; the exact
-        # direct-mapped table has none
-        if exact_group:
-            fp_q = 0.0
+        # direct-mapped table has none. Strict mode uses the MEASURED
+        # set-bit densities of the extension-strict tables.
+        if strict:
+            p_unit = sq_density
+        elif exact_group:
+            p_unit = min(1.0, stride * p_real)
         else:
             fp_q = min(
                 1.0, stride * 4 ** (stride - 1) * E1 / float(1 << qbloom_bits)
             )
-        p_unit = fp_q + min(1.0, stride * p_real)
+            p_unit = fp_q + min(1.0, stride * p_real)
         units = tile_len // stride
     else:
         p_unit = p_real + trunc_fp
         units = tile_len
     expect_units = int(units * min(p_unit, 1.0))
     # position expectation (packed expand stage): with the exact phase
-    # table a position expands iff its W-mer is a real bucket key, so the
-    # count tracks unique-key density; the fallback expands every valid
-    # phase of a flagged group
-    if packed and exact_group:
+    # table a position expands iff its W-mer is a real bucket key (strict:
+    # AND its extension bases are consistent), so the count tracks the
+    # phase-table density; the fallback expands every valid phase of a
+    # flagged group
+    if packed and strict:
+        expect_pos = int(tile_len * min(1.0, sp_density))
+    elif packed and exact_group:
         expect_pos = int(tile_len * min(1.0, E1 / float(4**wordsize)))
     else:
         expect_pos = stride * expect_units if packed else expect_units
-    # E[sum of bucket counts] over the tile is exactly L * E / 4^W
-    expect_cands = int(tile_len * (p_real + trunc_fp))
+    # E[sum of bucket counts] over the tile is exactly L * E / 4^W; in
+    # strict mode only t16-passing positions (real 16-base matches + hash
+    # false positives among expanded positions) reach pair expansion
+    avg_bucket = E / float(E1)
+    if strict and t16_bits:
+        expect_cands = int(
+            tile_len * min(1.0, t16_real + sp_density * t16_fp) * avg_bucket
+        )
+    elif strict:
+        expect_cands = int(tile_len * min(1.0, sp_density) * avg_bucket)
+    else:
+        expect_cands = int(tile_len * (p_real + trunc_fp))
     cpos_cap = min(max(1024, int(1.5 * expect_units) + 256), units)
     pos_cap = min(max(1024, int(1.5 * expect_pos) + 256), tile_len)
     cand_cap = min(max(2048, int(1.3 * expect_cands) + 512), 4 * tile_len)
@@ -977,6 +1039,8 @@ def default_config(
         stride=stride,
         qbloom_bits=qbloom_bits,
         exact_group=exact_group,
+        strict=strict,
+        t16_bits=t16_bits,
         tile_len=tile_len,
         lead=lead,
         tail=tail,

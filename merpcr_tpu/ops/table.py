@@ -40,6 +40,15 @@ from .encoding import (
 
 MAX_BLOOM_BITS = 24  # 2^24 bits = 2 MB; exact for W <= 12
 GTAB_CAP_BITS = 1 << 30  # exact group-table cap: 2^30 bits = 128 MB HBM
+T16_MAX_INSERTS = 1 << 22  # disable the 16-base filter past this insert count
+#                            (bounds the host-side scatter at table build)
+GOLD = np.uint32(0x9E3779B1)
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount(a: np.ndarray) -> int:
+    return int(_POP8[a.view(np.uint8)].sum(dtype=np.int64))
 
 
 def _lsb_keys(hashes: np.ndarray, wordsize: int) -> np.ndarray:
@@ -59,6 +68,221 @@ def _lsb_keys(hashes: np.ndarray, wordsize: int) -> np.ndarray:
     return k.astype(np.int64)
 
 
+def _build_strict(
+    ehash: np.ndarray,  # uint64[E] LSB-first W-mer keys, entry order
+    hoff: np.ndarray,  # int32[E] hash offsets
+    p1len: np.ndarray,  # int32[E] primer1 lengths
+    p1_bytes: np.ndarray,  # uint8[E, P1MAX]
+    wordsize: int,
+    stride: int,
+    span: int,
+    iupac_mode: bool,
+):
+    """Extension-strict front-end tables, valid only when mismatches == 0.
+
+    The loose group tables answer "do bases d..d+W-1 of this span form a
+    bucket key for some phase d" — pure W-mer occupancy. But a candidate
+    only survives the full primer1 verify if the primer's bases BEYOND the
+    W-mer also match the genome (reference engine.py:599-642: at N=0 every
+    active base must match). For clean genome spans those extension bases
+    are right there in the span value, so the strict tables bake the
+    constraint in at build time:
+
+    * ``qbloom_s`` — same shape/indexing as the loose exact group table,
+      but a value's bit is set only if some entry whose key is at phase d
+      ALSO matches the span's remaining span-W-d bases against its primer
+      continuation, for some d. Free dimensions (genome bases before the
+      key, bases past the primer end, multi-code IUPAC primer letters) are
+      enumerated, so the table over-approximates but never drops a
+      verifiable candidate. Phase bits within a flagged group still come
+      from the LOOSE phase table — a strict variant would cost 4x the
+      build/memory for almost no candidate reduction once groups are
+      strict-filtered and t16 prunes positions.
+    * ``t16`` — a multiplicative-hashed bitmask keyed by the FULL 16-base
+      window starting at a candidate position (the scan has those bases in
+      registers already). One gather per expanded position filters the
+      candidate stream down to ~real-match density before pair expansion.
+
+    Soundness (no lost hits at N==0, clean spans): a position kept out can
+    only have candidates with a primer-vs-clean-genome mismatch, which the
+    verify would reject anyway. Dirty spans bypass these tables entirely in
+    the scan (validity masks), preserving the reference's ambiguity
+    semantics; primer bytes that cannot match ANY clean base (e.g. 'N' in
+    non-IUPAC mode) drop the insert — such entries can only match through
+    dirty genome, which takes the bypass path.
+
+    Returns (qbloom_s, t16, t16_bits, sq_pop, t16_real).
+    """
+    E = len(ehash)
+    nspan = 1 << (2 * span)
+    qbloom_s = np.zeros(nspan // 32, dtype=np.uint32)
+
+    nb = 16 - wordsize  # extension bases the 16-base filter can see
+    nm = nib_match_matrix(iupac_mode)[:4, :].astype(bool)  # clean codes only
+    j = np.arange(nb)
+    idx = hoff[:, None] + wordsize + j[None, :]  # primer byte index per ext pos
+    act = idx < p1len[:, None]
+    byc = PRIMER_CODE_LUT[
+        p1_bytes[np.arange(E)[:, None], np.minimum(idx, p1_bytes.shape[1] - 1)]
+    ]
+    mm = nm[:, byc]  # (4, E, nb): clean genome code c matches primer byte
+    ncode = mm.sum(axis=0).astype(np.int32)
+    code1 = mm.argmax(axis=0).astype(np.uint64)
+    # inactive positions (past primer end) are FREE; FIXED iff exactly one
+    # clean code matches; IMPOSSIBLE (ncode==0) => unmatchable on clean genome
+    ncode = np.where(act, ncode, 4)
+    # prefix extension values: pv[:, k] = sum_{j<k} code1[:, j] << 2j
+    pv = np.zeros((E, nb + 1), dtype=np.uint64)
+    for k in range(nb):
+        pv[:, k + 1] = pv[:, k] | (code1[:, k] << np.uint64(2 * k))
+
+    def _fixed_run(width: int):
+        """(drop, fr): unmatchable flag + leading FIXED-run length over the
+        first `width` extension positions."""
+        if width == 0:
+            return np.zeros(E, dtype=bool), np.zeros(E, dtype=np.int64)
+        sub = ncode[:, :width]
+        drop = (sub == 0).any(axis=1)
+        fixed = sub == 1
+        allf = fixed.all(axis=1)
+        fr = np.where(allf, width, np.argmin(fixed, axis=1))
+        return drop, fr.astype(np.int64)
+
+    def _scatter(v: np.ndarray):
+        np.bitwise_or.at(
+            qbloom_s,
+            (v >> 5).astype(np.int64),
+            np.uint32(1) << (v & 31).astype(np.uint32),
+        )
+
+    # Per-phase insert counts decide the construction: value-level scatter
+    # for sparse sets, the product-structure build (scatter only E entries
+    # into per-extension-class key bitmaps, then packbits + bit-repeat —
+    # same trick as the loose dense path) once scattering would dominate.
+    drops, frs, phase_ins = [], [], []
+    for d in range(stride):
+        drop, fr = _fixed_run(span - wordsize - d)
+        drops.append(drop)
+        frs.append(fr)
+        ext_d = span - wordsize - d
+        phase_ins.append(
+            (1 << (2 * d))
+            * int((1 << (2 * (ext_d - fr[~drop]))).astype(np.int64).sum())
+        )
+    if sum(phase_ins) <= (1 << 21):
+        for d in range(stride):
+            ext_d = span - wordsize - d
+            drop, fr = drops[d], frs[d]
+            pre = np.arange(1 << (2 * d), dtype=np.uint64)
+            for f in range(ext_d + 1):
+                sel = np.flatnonzero(~drop & (fr == f))
+                if not len(sel):
+                    continue
+                base = (
+                    ehash[sel] | (pv[sel, f] << np.uint64(2 * wordsize))
+                ) << np.uint64(2 * d)
+                nfree = 1 << (2 * (ext_d - f))
+                free = np.arange(nfree, dtype=np.uint64) << np.uint64(
+                    2 * (d + wordsize + f)
+                )
+                # chunk entries so the expanded value array stays modest
+                step = max(1, (1 << 22) // max(len(pre) * nfree, 1))
+                for a in range(0, len(sel), step):
+                    v = (
+                        pre[:, None, None]
+                        | base[None, a : a + step, None]
+                        | free[None, None, :]
+                    ).reshape(-1)
+                    _scatter(v)
+    else:
+        # span value v = x*4^(W+d) + key*4^d + pre: the d free "pre" bases
+        # are v's low bits, so phase d's bit plane is
+        # concat_x(repeat_{4^d}(key bitmap of extension class x)) — built
+        # with byte LUTs and tiling, never touching per-value scatters.
+        bidx = np.arange(256, dtype=np.uint32)
+        lutr4 = np.zeros(256, dtype=np.uint32)  # bit j -> 0xF at nibble j
+        for j in range(8):
+            lutr4 |= (((bidx >> j) & 1) * np.uint32(0xF)) << (4 * j)
+        q8 = qbloom_s.view(np.uint8)
+        ehash_i = ehash.astype(np.int64)
+        # Preallocated scratch, reused across phases (fresh 100+ MB numpy
+        # temporaries per op would page-fault); the take ping-pong pair
+        # exists because np.take must not alias its input with out=.
+        mbbuf = np.zeros(
+            (1 << (2 * (span - wordsize)), 1 << (2 * wordsize)), dtype=bool
+        )
+        rep_ab = (
+            np.empty(nspan // 32, dtype=np.uint32),
+            np.empty(nspan // 32, dtype=np.uint32),
+        )
+        for d in range(stride):
+            ext_d = span - wordsize - d
+            drop, fr = drops[d], frs[d]
+            nc = 1 << (2 * ext_d)
+            mb = mbbuf[:nc]
+            mb[:] = False
+            for f in range(ext_d + 1):
+                sel = np.flatnonzero(~drop & (fr == f))
+                if not len(sel):
+                    continue
+                nfree = 1 << (2 * (ext_d - f))
+                x = pv[sel, f][None, :] | (
+                    np.arange(nfree, dtype=np.uint64)[:, None]
+                    << np.uint64(2 * f)
+                )
+                mb[
+                    x.astype(np.int64).reshape(-1),
+                    np.broadcast_to(
+                        ehash_i[sel], (nfree, len(sel))
+                    ).reshape(-1),
+                ] = True
+            plane = np.packbits(mb, axis=1, bitorder="little").reshape(-1)
+            for k in range(d):  # repeat bits x4 per application
+                r = rep_ab[k & 1][: len(plane)]
+                np.take(lutr4, plane, out=r)
+                plane = r.view(np.uint8)
+            np.bitwise_or(q8, plane, out=q8)
+
+    # ---- 16-base position filter ------------------------------------------
+    drop16, fr16 = _fixed_run(nb)
+    n16 = int(((1 << (2 * (nb - fr16[~drop16]))).astype(np.int64)).sum())
+    if 0 < n16 <= T16_MAX_INSERTS:
+        t16_bits = int(np.clip(int(np.ceil(np.log2(max(n16, 2)))) + 10, 16, 27))
+        t16 = np.zeros((1 << t16_bits) // 32, dtype=np.uint32)
+        for f in range(nb + 1):
+            sel = np.flatnonzero(~drop16 & (fr16 == f))
+            if not len(sel):
+                continue
+            base = ehash[sel] | (pv[sel, f] << np.uint64(2 * wordsize))
+            nfree = 1 << (2 * (nb - f))
+            free = np.arange(nfree, dtype=np.uint64) << np.uint64(
+                2 * (wordsize + f)
+            )
+            step = max(1, (1 << 22) // nfree)
+            for a in range(0, len(sel), step):
+                v = (base[None, a : a + step] | free[:, None]).reshape(-1)
+                bk = ((v.astype(np.uint32) * GOLD) >> (32 - t16_bits)).astype(
+                    np.uint64
+                )
+                np.bitwise_or.at(
+                    t16,
+                    (bk >> 5).astype(np.int64),
+                    np.uint32(1) << (bk & 31).astype(np.uint32),
+                )
+    else:
+        t16_bits = 0
+        t16 = np.zeros(1, dtype=np.uint32)
+    return (
+        qbloom_s,
+        ptab_s,
+        t16,
+        t16_bits,
+        _popcount(qbloom_s),
+        _popcount(ptab_s),
+        float(n16) / float(4**16),
+    )
+
+
 class DeviceTable(NamedTuple):
     """Pytree of device-resident arrays (replicated per chip)."""
 
@@ -68,6 +292,11 @@ class DeviceTable(NamedTuple):
     qbloom: jnp.ndarray  # uint32[2^qbloom_bits / 32]  stride-group any-phase bits
     ptab: jnp.ndarray  # uint32 exact phase-bit table (expand stage; dummy [1]
     #                    in mult-hash fallback mode)
+    # extension-strict variants (valid only at mismatches == 0; see
+    # _build_strict) + hashed 16-base position filter; dummies when absent
+    qbloom_s: jnp.ndarray  # uint32: strict group any-phase bits | [1]
+    ptab_s: jnp.ndarray  # uint32: strict phase bits | [1]
+    t16: jnp.ndarray  # uint32[2^t16_bits / 32] | [1]
     uhash: jnp.ndarray  # uint32[U]      sorted unique hashes
     ustart: jnp.ndarray  # int32[U+1]    CSR offsets into entry arrays
     # dense CSR (W <= 12): bucket_start[4^W + 1] — exact lookup is ONE
@@ -109,6 +338,12 @@ class TableMeta:
     stride: int  # packed front-end: positions per group lookup (2|4)
     qbloom_bits: int  # log2 bits of the group table (== 2*span when exact)
     exact_group: bool  # True: direct-mapped exact table; False: mult-hash bloom
+    strict: bool  # strict (N==0) table variants were built
+    t16_bits: int  # log2 bits of the 16-base position filter (0 = disabled)
+    sq_density: float  # strict group-table set-bit fraction (cap sizing)
+    sp_density: float  # strict phase-bit set fraction (per scan position)
+    t16_real: float  # expected real 16-base match probability per position
+    t16_fp: float  # t16 false-positive rate (set-bit fraction)
     p1_max: int
     p2_max: int
     lead: int  # max hash_offset over entries (tile left halo)
@@ -344,12 +579,43 @@ def compile_table(
     emeta[:, 2] = col(res.p2_lens)
     emeta[:, 3] = col(res.pcr_sizes, pad=1)
 
+    # ---- strict (N==0) front-end variants ---------------------------------
+    strict = bool(exact_group and E > 0)
+    if strict:
+        qbloom_s, ptab_s, t16, t16_bits, sq_pop, sp_pop, t16_real = (
+            _build_strict(
+                sorted_hashes.astype(np.uint64),
+                emeta[:E, 0],
+                emeta[:E, 1],
+                p1_bytes,
+                wordsize,
+                stride,
+                span,
+                iupac_mode,
+            )
+        )
+        nspan = 1 << (2 * span)
+        sq_density = sq_pop / float(nspan)
+        sp_density = sp_pop / float(nspan * stride)
+        t16_fp = (
+            _popcount(t16) / float(1 << t16_bits) if t16_bits else 1.0
+        )
+    else:
+        qbloom_s = np.zeros(1, dtype=np.uint32)
+        ptab_s = np.zeros(1, dtype=np.uint32)
+        t16 = np.zeros(1, dtype=np.uint32)
+        t16_bits = 0
+        sq_density = sp_density = t16_real = t16_fp = 1.0
+
     table = DeviceTable(
         scode=jnp.asarray(SCODE),
         match=jnp.asarray(match_matrix(iupac_mode).reshape(-1)),
         bloom=jnp.asarray(bloom),
         qbloom=jnp.asarray(qbloom),
         ptab=jnp.asarray(ptab),
+        qbloom_s=jnp.asarray(qbloom_s),
+        ptab_s=jnp.asarray(ptab_s),
+        t16=jnp.asarray(t16),
         uhash=jnp.asarray(uhash_dev),
         ustart=jnp.asarray(ustart_dev),
         bstart=jnp.asarray(bstart),
@@ -383,6 +649,12 @@ def compile_table(
         stride=stride,
         qbloom_bits=qbloom_bits,
         exact_group=exact_group,
+        strict=strict,
+        t16_bits=t16_bits,
+        sq_density=sq_density,
+        sp_density=sp_density,
+        t16_real=t16_real,
+        t16_fp=t16_fp,
         p1_max=p1_max,
         p2_max=p2_max,
         lead=int(res.hash_offsets.max()) if E else 0,
