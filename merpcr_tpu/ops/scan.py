@@ -102,8 +102,8 @@ class ScanConfig:
     cand_cap: int
     anch_cap: int
     hit_cap: int
-    # Strict (N==0) mode: the front end gathers the extension-strict table
-    # variants (table.qbloom_s / ptab_s), and — when t16_bits > 0 — one
+    # Strict (N==0) mode: the front end gathers the extension-strict group
+    # table (table.qbloom_s), and — when t16_bits > 0 — one
     # hashed 16-base-window gather per expanded position filters candidates
     # to ~real-match density before pair expansion (see table._build_strict).
     strict: bool = False
@@ -560,8 +560,10 @@ def _scan_tile_impl(
         if cfg.exact_group:
             keyc = Ac & m2kb
             NPS = 5 - (S_.bit_length() - 1)  # log2(32 / S)
-            pt_tab = table.ptab_s if cfg.strict else table.ptab
-            wordc = pt_tab[(keyc >> NPS).astype(jnp.int32)]
+            # strict and loose share ONE exact phase table (zero false
+            # phases either way); strict mode's extra pruning lives in the
+            # group front end (qbloom_s) and the t16 position filter
+            wordc = table.ptab[(keyc >> NPS).astype(jnp.int32)]
             nbt = (
                 wordc >> ((keyc & ((1 << NPS) - 1)) * jnp.uint32(S_))
             ) & jnp.uint32((1 << S_) - 1)

@@ -95,9 +95,9 @@ def _build_strict(
       key, bases past the primer end, multi-code IUPAC primer letters) are
       enumerated, so the table over-approximates but never drops a
       verifiable candidate. Phase bits within a flagged group still come
-      from the LOOSE phase table — a strict variant would cost 4x the
-      build/memory for almost no candidate reduction once groups are
-      strict-filtered and t16 prunes positions.
+      from the LOOSE phase table ``ptab`` (no strict variant exists — it
+      would cost 4x the build/memory for almost no candidate reduction
+      once groups are strict-filtered and t16 prunes positions).
     * ``t16`` — a multiplicative-hashed bitmask keyed by the FULL 16-base
       window starting at a candidate position (the scan has those bases in
       registers already). One gather per expanded position filters the
@@ -274,11 +274,9 @@ def _build_strict(
         t16 = np.zeros(1, dtype=np.uint32)
     return (
         qbloom_s,
-        ptab_s,
         t16,
         t16_bits,
         _popcount(qbloom_s),
-        _popcount(ptab_s),
         float(n16) / float(4**16),
     )
 
@@ -293,9 +291,10 @@ class DeviceTable(NamedTuple):
     ptab: jnp.ndarray  # uint32 exact phase-bit table (expand stage; dummy [1]
     #                    in mult-hash fallback mode)
     # extension-strict variants (valid only at mismatches == 0; see
-    # _build_strict) + hashed 16-base position filter; dummies when absent
+    # _build_strict) + hashed 16-base position filter; dummies when absent.
+    # Strict mode has NO phase-table variant: the expand stage gathers the
+    # loose (exact) ``ptab`` either way.
     qbloom_s: jnp.ndarray  # uint32: strict group any-phase bits | [1]
-    ptab_s: jnp.ndarray  # uint32: strict phase bits | [1]
     t16: jnp.ndarray  # uint32[2^t16_bits / 32] | [1]
     uhash: jnp.ndarray  # uint32[U]      sorted unique hashes
     ustart: jnp.ndarray  # int32[U+1]    CSR offsets into entry arrays
@@ -341,7 +340,8 @@ class TableMeta:
     strict: bool  # strict (N==0) table variants were built
     t16_bits: int  # log2 bits of the 16-base position filter (0 = disabled)
     sq_density: float  # strict group-table set-bit fraction (cap sizing)
-    sp_density: float  # strict phase-bit set fraction (per scan position)
+    sp_density: float  # loose phase-bit set fraction (per scan position;
+    #                    bounds strict-mode position expansion from above)
     t16_real: float  # expected real 16-base match probability per position
     t16_fp: float  # t16 false-positive rate (set-bit fraction)
     p1_max: int
@@ -582,27 +582,27 @@ def compile_table(
     # ---- strict (N==0) front-end variants ---------------------------------
     strict = bool(exact_group and E > 0)
     if strict:
-        qbloom_s, ptab_s, t16, t16_bits, sq_pop, sp_pop, t16_real = (
-            _build_strict(
-                sorted_hashes.astype(np.uint64),
-                emeta[:E, 0],
-                emeta[:E, 1],
-                p1_bytes,
-                wordsize,
-                stride,
-                span,
-                iupac_mode,
-            )
+        qbloom_s, t16, t16_bits, sq_pop, t16_real = _build_strict(
+            sorted_hashes.astype(np.uint64),
+            emeta[:E, 0],
+            emeta[:E, 1],
+            p1_bytes,
+            wordsize,
+            stride,
+            span,
+            iupac_mode,
         )
         nspan = 1 << (2 * span)
         sq_density = sq_pop / float(nspan)
-        sp_density = sp_pop / float(nspan * stride)
+        # Strict expansion gathers the LOOSE phase table, so the per-
+        # position expansion probability is bounded by its set fraction
+        # (a safe over-estimate: strict group filtering only shrinks it).
+        sp_density = _popcount(ptab) / float(nspan * stride)
         t16_fp = (
             _popcount(t16) / float(1 << t16_bits) if t16_bits else 1.0
         )
     else:
         qbloom_s = np.zeros(1, dtype=np.uint32)
-        ptab_s = np.zeros(1, dtype=np.uint32)
         t16 = np.zeros(1, dtype=np.uint32)
         t16_bits = 0
         sq_density = sp_density = t16_real = t16_fp = 1.0
@@ -614,7 +614,6 @@ def compile_table(
         qbloom=jnp.asarray(qbloom),
         ptab=jnp.asarray(ptab),
         qbloom_s=jnp.asarray(qbloom_s),
-        ptab_s=jnp.asarray(ptab_s),
         t16=jnp.asarray(t16),
         uhash=jnp.asarray(uhash_dev),
         ustart=jnp.asarray(ustart_dev),
