@@ -94,4 +94,6 @@ def test_entry_entrypoint():
 
     fn, args = ge.entry()
     out = fn(*args)
-    assert int(out.hit_total) == 1
+    # _demo_sequence plants three DEMO1 amplicons inside the entry tile
+    # (positions 1000 (+), 3000 (-), 4036 (+)); all must be found.
+    assert int(out.hit_total) == 3

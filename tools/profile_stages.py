@@ -34,9 +34,18 @@ cfg = S.default_config(
     meta.p2_max, meta.bloom_bits, tile_len=L, n_entries=meta.n_entries,
     stride=meta.stride, qbloom_bits=meta.qbloom_bits, n_unique=meta.n_unique,
     exact_group=meta.exact_group,
+    # production front end: strict + t16 exactly as engine._base_config
+    strict=meta.strict, t16_bits=meta.t16_bits,
+    sq_density=meta.sq_density, sp_density=meta.sp_density,
+    t16_real=meta.t16_real, t16_fp=meta.t16_fp,
 )
+if os.environ.get("PROFILE_LOOSE"):
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, strict=False, t16_bits=0)
 print(f"n_sts={N_STS} L=2^{LOG2L} packed={cfg.packed} "
-      f"stride={cfg.stride} qbits={cfg.qbloom_bits}")
+      f"stride={cfg.stride} qbits={cfg.qbloom_bits} strict={cfg.strict} "
+      f"t16={cfg.t16_bits}")
 print("caps:", cfg.cpos_cap, cfg.cand_cap, cfg.anch_cap, cfg.hit_cap)
 rt = jnp.asarray([50, 0, 1], dtype=jnp.int32)
 
