@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 from typing import List, Optional
 
@@ -161,6 +162,17 @@ def create_parser() -> argparse.ArgumentParser:
         "-v", "--version", action="version", version="merPCR-TPU version 1.0.0"
     )
     parser.add_argument("--debug", action="store_true", help="Enable debug logging")
+    # TPU-native addition (no reference counterpart — the reference's -T
+    # process pool maps to device tiling here): shard the search over every
+    # chip in a multi-host slice via jax.distributed; launch one process
+    # per host with this flag (or MERPCR_TPU_MULTIHOST=1) and only host 0
+    # writes output.
+    parser.add_argument(
+        "--multihost", action="store_true",
+        default=os.environ.get("MERPCR_TPU_MULTIHOST", "") == "1",
+        help="Distribute the search across all hosts/chips in the slice "
+        "(jax.distributed; output written by host 0 only)",
+    )
     return parser
 
 
@@ -186,6 +198,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             threads=args.threads,
             max_sts_line_length=args.max_sts_line_length,
         )
+
+        if args.multihost:
+            mer_pcr.enable_multihost()
 
         if not mer_pcr.load_sts_file(args.sts_file):
             logger.error(f"Failed to load STS file: {args.sts_file}")

@@ -101,6 +101,9 @@ class MerPCR:
         # Optional jax.sharding.Mesh: shard records across devices
         # (set via use_mesh(); output is identical to single-device).
         self.mesh = None
+        # True after enable_multihost(): search() emits output only on
+        # host 0 (every process still computes the full merged hit set).
+        self._multihost = False
         # Device-resident genome plane cache: repeated searches over the
         # same records (e.g. margin/mismatch parameter sweeps) skip the
         # host->device transfer entirely. Module-global so sweeps that
@@ -115,6 +118,29 @@ class MerPCR:
         byte-identical to the single-device path."""
         self.mesh = mesh
         return self
+
+    def enable_multihost(
+        self,
+        coordinator_address: Optional[str] = None,
+        num_processes: Optional[int] = None,
+        process_id: Optional[int] = None,
+    ) -> "MerPCR":
+        """Run the search over every chip in a (possibly multi-host) slice.
+
+        TPU-native replacement for the reference's ProcessPoolExecutor
+        fan-out wired into ``search`` (reference engine.py:414-434): calls
+        ``jax.distributed.initialize`` (no-op when single-host / already
+        initialized), shards scan positions over a global 1-D mesh, and
+        gates emission in :meth:`search` so exactly one process (host 0)
+        writes output. All per-shard hit buffers are ``all_gather``-merged
+        inside the sharded program, so every host computes the same
+        ``total_hits`` return value.
+        """
+        from .parallel import distributed
+
+        distributed.initialize(coordinator_address, num_processes, process_id)
+        self._multihost = True
+        return self.use_mesh(distributed.global_mesh())
 
     def _validate_parameters(self):
         """Bounds validation (reference engine.py:80-97)."""
@@ -552,9 +578,19 @@ class MerPCR:
         """Search all records; emit 5-field tab-delimited hits
         (reference engine.py:365-451; line format engine.py:442)."""
         total_hits = 0
+        # Multi-host: every process runs the sharded search (all must join
+        # the collectives) but only host 0 emits — the all_gather merge
+        # already replicated the full hit set to every process.
+        emit_here = True
+        if self._multihost:
+            from .parallel.distributed import is_output_host
+
+            emit_here = is_output_host()
         # None or the literal string "stdout" (any case) -> stdout
         # (reference engine.py:368-371)
-        if output_file and output_file.lower() != "stdout":
+        if not emit_here:
+            output = open(os.devnull, "w")
+        elif output_file and output_file.lower() != "stdout":
             output = open(output_file, "w")
         else:
             output = sys.stdout

@@ -13,6 +13,12 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Disable the persistent XLA compile cache for the suite (and for CLI
+# subprocesses it spawns, via inherited env): jaxlib 0.9.0 CPU executable
+# (de)serialization segfaults sporadically after hundreds of compilations
+# in one process. See merpcr_tpu/utils/cache.py.
+os.environ.setdefault("MERPCR_TPU_CACHE", "0")
+
 import jax  # noqa: E402
 
 if os.environ.get("MERPCR_TEST_BACKEND", "cpu") == "cpu":
