@@ -12,7 +12,7 @@ Design (array program, everything static-shaped and jit-compiled once):
     │ 3. ONE any-phase table bit per S positions (exact direct-mapped
     │    1-bit table when the span fits; mult-hash bloom for large W) —
     │    the hot gather stays on the SMALLEST table (gather rate degrades
-    │    with table size, tools/gather_microbench9.py)
+    │    with table size, tools/MICROBENCH.md #2)
     ▼
   compacted candidate groups (word-bitpack + scatter-max rank inversion)
     │ 4. phase-bit nibble: ONE exact phase-table gather per compacted
@@ -216,7 +216,7 @@ def _row_window(
 
     Fetches NR aligned 16-byte rows per lane, barrel-rotates by the byte
     offset, and interleaves nibbles — replacing n_out per-element gathers
-    (gather cost is per row on this hardware, tools/gather_microbench2.py).
+    (gather cost is per row on this hardware, tools/MICROBENCH.md #1).
 
     ``pos0`` is clamped so every fetched row is in range; callers must mask
     lanes whose true window is out of bounds (clamped lanes read shifted
@@ -499,7 +499,7 @@ def _scan_tile_impl(
         """Exact bucket lookup; returns (start, count).
 
         W <= 11: ONE row gather into the dense (start, count) pair table
-        (gather cost is per row — tools/gather_microbench2.py). W == 12:
+        (gather cost is per row — tools/MICROBENCH.md #1). W == 12:
         two gathers into bucket_start. Larger W: log2(U)-step binary
         search over sorted unique hashes."""
         if W <= 11:  # table.bsc is (4^W, 2) [start, count] rows

@@ -302,7 +302,7 @@ class DeviceTable(NamedTuple):
     # gather instead of a log2(U)-step binary search; dummy [0,0] otherwise
     bstart: jnp.ndarray  # int32[4^W + 1] | int32[2]
     # W <= 11 only: (start, count) pairs as 2-wide rows — a TPU gather's
-    # cost is per ROW, not per element (tools/gather_microbench2.py), so
+    # cost is per ROW, not per element (tools/MICROBENCH.md #1), so
     # one row gather replaces the bstart[h] + bstart[h+1] pair
     bsc: jnp.ndarray  # int32[4^W, 2] | int32[1, 2]
     # per-entry scalars packed into one 8-wide row (same per-row insight):
@@ -398,7 +398,7 @@ def compile_table(
     #   string starts a bucket key"). This is the only table the
     #   O(sequence) front end gathers; at 4^span bits it is 4x smaller
     #   than the phase table, and gather throughput on this hardware
-    #   degrades with table size (tools/gather_microbench9.py), so the
+    #   degrades with table size (tools/MICROBENCH.md #2), so the
     #   hot stage stays on the small one. Zero false positives.
     # * ``ptab`` — `stride` bits per span value: bit d set iff bases
     #   d..d+W-1 of the span string are a bucket key. Gathered ONLY at

@@ -16,11 +16,12 @@ def enable_compilation_cache() -> None:
     global _ENABLED
     if _ENABLED:
         return
-    # MERPCR_TPU_CACHE=0 disables the persistent cache entirely. The test
-    # suite sets this: jaxlib 0.9.0's CPU executable (de)serialization
-    # segfaults sporadically late in long multi-hundred-compilation
-    # processes (observed in both get_executable_and_time and
-    # put_executable_and_time), and the suite is exactly that workload.
+    # MERPCR_TPU_CACHE=0 disables the persistent cache (isolation /
+    # debugging knob). Note for long many-compilation processes: each
+    # loaded executable mmaps ~9+ regions, and a process that compiles or
+    # deserializes thousands of programs can cross the kernel's
+    # vm.max_map_count, which jaxlib 0.9.0 does not survive gracefully —
+    # call jax.clear_caches() periodically (see tests/conftest.py).
     if os.environ.get("MERPCR_TPU_CACHE", "1") == "0":
         _ENABLED = True
         return

@@ -13,12 +13,6 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Disable the persistent XLA compile cache for the suite (and for CLI
-# subprocesses it spawns, via inherited env): jaxlib 0.9.0 CPU executable
-# (de)serialization segfaults sporadically after hundreds of compilations
-# in one process. See merpcr_tpu/utils/cache.py.
-os.environ.setdefault("MERPCR_TPU_CACHE", "0")
-
 import jax  # noqa: E402
 
 if os.environ.get("MERPCR_TEST_BACKEND", "cpu") == "cpu":
@@ -47,6 +41,31 @@ have_oracle = os.path.isdir(os.path.join(REFERENCE_ROOT, "src"))
 
 needs_golden = pytest.mark.skipif(not have_golden, reason="golden data not mounted")
 needs_oracle = pytest.mark.skipif(not have_oracle, reason="reference not mounted")
+
+
+# Every compiled XLA CPU executable mmaps ~9+ code regions and the suite
+# compiles thousands of distinct programs (fuzz-random shapes); one process
+# crosses the kernel's vm.max_map_count (65530 here) and XLA segfaults or
+# aborts inside mmap (observed at maps=65506 — jaxlib 0.9.0 does not fail
+# gracefully). jax.clear_caches() releases executables (measured 2315->528
+# maps) and live jitted wrappers transparently recompile, so: watch the map
+# count after each test and clear when it gets high.
+_MAP_CLEAR_THRESHOLD = 30000
+
+
+def _n_maps() -> int:
+    try:
+        with open("/proc/self/maps") as fh:
+            return sum(1 for _ in fh)
+    except OSError:  # non-Linux
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_memory_maps():
+    yield
+    if _n_maps() > _MAP_CLEAR_THRESHOLD:
+        jax.clear_caches()
 
 
 def run_search(engine, records) -> str:

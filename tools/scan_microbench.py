@@ -1,6 +1,6 @@
 """Microbench round 10: prefix-scan primitives under the TRUSTWORTHY
 fori-loop harness (tools/profile_stages.py pattern; the lax.scan harness
-in gather_microbench8.py has a ~1.1 ms/iter floor on this platform).
+in tools/MICROBENCH.md #4 has a ~1.1 ms/iter floor on this platform).
 
 Targets the production _rank_invert sizes from the dense 50k-STS profile
 (cpos_cap=149389 -> pos_cap=65512 -> cand_cap=65512), where each of the
