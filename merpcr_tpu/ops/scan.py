@@ -1013,7 +1013,19 @@ def default_config(
     # phase-table density; the fallback expands every valid phase of a
     # flagged group
     if packed and strict:
-        expect_pos = int(tile_len * min(1.0, sp_density))
+        # Positions only expand inside strict-FLAGGED groups (the expand
+        # stage masks nb by the compacted strict flags), so the realistic
+        # expectation is flagged-group count x loose phase bits per
+        # flagged group (>= 1 by construction, + background) — ~4x
+        # tighter than the raw loose-phase bound on dense sets, and the
+        # pos stage costs O(pos_cap) lanes regardless of actual counts.
+        # The loose bound stays as an upper clamp; undersizing only costs
+        # an escalation retry, never correctness.
+        per_group = 1.0 + stride * min(1.0, sp_density)
+        expect_pos = int(
+            tile_len
+            * min(sp_density, (sq_density / stride) * per_group, 1.0)
+        )
     elif packed and exact_group:
         expect_pos = int(tile_len * min(1.0, E1 / float(4**wordsize)))
     else:
