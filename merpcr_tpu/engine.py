@@ -205,6 +205,7 @@ class MerPCR:
             n_unique=m.n_unique,
             strict=strict,
             t16_bits=m.t16_bits if strict else 0,
+            q_density=m.q_density,
             sq_density=m.sq_density,
             sp_density=m.sp_density,
             t16_real=m.t16_real,

@@ -381,10 +381,19 @@ def _scan_tile_impl(
             return _stopped(*AV, *pvs)
 
         qb_tab = table.qbloom_s if cfg.strict else table.qbloom
+        # Exact group tables may be host-truncated below 4^span bits
+        # (table._truncate_group_table): the key is then the span value's
+        # LOW log2(bits) bits. Deriving the width from the table's actual
+        # (trace-time) shape makes a config/table mismatch impossible —
+        # an oversized mask would gather out of bounds (clamped -> wrong
+        # flags -> lost candidates).
+        gq = (int(qb_tab.shape[0]) * 32).bit_length() - 1
+        m2q = jnp.uint32(((1 << min(gq, 32)) - 1) & 0xFFFFFFFF)
         flags_p = []
         for p in range(P):
             if cfg.exact_group:
-                bk = AV[p]
+                # truncated tables drop top span bases: key = low gq bits
+                bk = AV[p] & m2q
             else:
                 bk = (AV[p] * jnp.uint32(0x9E3779B1)) >> (
                     32 - cfg.qbloom_bits
@@ -949,6 +958,7 @@ def default_config(
     n_unique: int = 0,
     strict: bool = False,
     t16_bits: int = 0,
+    q_density: float = -1.0,
     sq_density: float = 1.0,
     sp_density: float = 1.0,
     t16_real: float = 0.0,
@@ -996,7 +1006,11 @@ def default_config(
         if strict:
             p_unit = sq_density
         elif exact_group:
-            p_unit = min(1.0, stride * p_real)
+            # measured set-bit fraction when available (accounts for
+            # truncation false flags); model estimate otherwise
+            p_unit = (
+                q_density if q_density >= 0 else min(1.0, stride * p_real)
+            )
         else:
             fp_q = min(
                 1.0, stride * 4 ** (stride - 1) * E1 / float(1 << qbloom_bits)

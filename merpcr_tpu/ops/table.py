@@ -43,12 +43,40 @@ GTAB_CAP_BITS = 1 << 30  # exact group-table cap: 2^30 bits = 128 MB HBM
 T16_MAX_INSERTS = 1 << 22  # disable the 16-base filter past this insert count
 #                            (bounds the host-side scatter at table build)
 GOLD = np.uint32(0x9E3779B1)
+# Group-table truncation: the front-end gather rate cliffs above ~8-16 MB
+# on this TPU (tools/MICROBENCH.md #2, re-measured round 2: 9.4 ns/key at
+# <= 8 MB vs 15.5 ns at >= 16 MB), so exact group tables larger than
+# GQ_TARGET_BITS are folded by OR-ing away their top span bases (quarter
+# ORs of the LSB-first bit plane) while the set-bit density stays low —
+# a sound over-approximation (the exact phase table still removes false
+# phases at expand; false flags only cost compact-stage lanes).
+GQ_TARGET_BITS = 26  # 2^26 bits = 8 MB
+GQ_MAX_ADDED_DENSITY = 0.02  # stop folding when a fold would add more
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _popcount(a: np.ndarray) -> int:
     return int(_POP8[a.view(np.uint8)].sum(dtype=np.int64))
+
+
+def _truncate_group_table(tab: np.ndarray, bits: int):
+    """Fold an exact (direct-mapped, LSB-first) group bit table down toward
+    GQ_TARGET_BITS by OR-ing its 4 quarters (each fold drops the top span
+    base: bit[v'] = OR over b of bit[v' | b << (bits-2)]).
+
+    Returns (tab, bits, density) — folding stops when the target size is
+    reached or a fold would add more than GQ_MAX_ADDED_DENSITY of set-bit
+    density (dense sets: false flags would swamp the compact stage)."""
+    density = _popcount(tab) / float(1 << bits)
+    while bits > GQ_TARGET_BITS:
+        q = tab.reshape(4, -1)
+        folded = (q[0] | q[1]) | (q[2] | q[3])
+        fdens = _popcount(folded) / float(1 << (bits - 2))
+        if fdens - density > GQ_MAX_ADDED_DENSITY:
+            break
+        tab, bits, density = folded, bits - 2, fdens
+    return tab, bits, density
 
 
 def _lsb_keys(hashes: np.ndarray, wordsize: int) -> np.ndarray:
@@ -111,7 +139,8 @@ def _build_strict(
     non-IUPAC mode) drop the insert — such entries can only match through
     dirty genome, which takes the bypass path.
 
-    Returns (qbloom_s, t16, t16_bits, sq_pop, t16_real).
+    Returns (qbloom_s, t16, t16_bits, t16_real); the caller truncates
+    qbloom_s (see _truncate_group_table) and measures densities there.
     """
     E = len(ehash)
     nspan = 1 << (2 * span)
@@ -272,13 +301,7 @@ def _build_strict(
     else:
         t16_bits = 0
         t16 = np.zeros(1, dtype=np.uint32)
-    return (
-        qbloom_s,
-        t16,
-        t16_bits,
-        _popcount(qbloom_s),
-        float(n16) / float(4**16),
-    )
+    return (qbloom_s, t16, t16_bits, float(n16) / float(4**16))
 
 
 class DeviceTable(NamedTuple):
@@ -337,6 +360,10 @@ class TableMeta:
     stride: int  # packed front-end: positions per group lookup (2|4)
     qbloom_bits: int  # log2 bits of the group table (== 2*span when exact)
     exact_group: bool  # True: direct-mapped exact table; False: mult-hash bloom
+    q_bits: int  # ACTUAL log2 bits of the loose group table (exact mode:
+    #              <= 2*span after truncation — see _truncate_group_table)
+    sq_bits: int  # actual log2 bits of the strict group table
+    q_density: float  # loose group-table set-bit fraction (cap sizing)
     strict: bool  # strict (N==0) table variants were built
     t16_bits: int  # log2 bits of the 16-base position filter (0 = disabled)
     sq_density: float  # strict group-table set-bit fraction (cap sizing)
@@ -523,6 +550,16 @@ def compile_table(
                 np.uint32(1) << (hq & 31).astype(np.uint32),
             )
 
+    # Fold oversized exact group tables toward the fast-gather size (the
+    # front end gathers these once per stride-group — the hot stage).
+    if exact_group:
+        qbloom, q_bits, q_density = _truncate_group_table(
+            qbloom, qbloom_bits
+        )
+    else:
+        q_bits = qbloom_bits
+        q_density = _popcount(qbloom) / float(1 << qbloom_bits)
+
     exp_nib, exp_primer = iupac_exp_masks()
     p1_max = max(16, _round_up(int(res.p1_lens.max()) if E else 16, 8))
     p2_max = max(16, _round_up(int(res.p2_lens.max()) if E else 16, 8))
@@ -582,7 +619,7 @@ def compile_table(
     # ---- strict (N==0) front-end variants ---------------------------------
     strict = bool(exact_group and E > 0)
     if strict:
-        qbloom_s, t16, t16_bits, sq_pop, t16_real = _build_strict(
+        qbloom_s, t16, t16_bits, t16_real = _build_strict(
             sorted_hashes.astype(np.uint64),
             emeta[:E, 0],
             emeta[:E, 1],
@@ -592,12 +629,13 @@ def compile_table(
             span,
             iupac_mode,
         )
-        nspan = 1 << (2 * span)
-        sq_density = sq_pop / float(nspan)
+        qbloom_s, sq_bits, sq_density = _truncate_group_table(
+            qbloom_s, 2 * span
+        )
         # Strict expansion gathers the LOOSE phase table, so the per-
         # position expansion probability is bounded by its set fraction
         # (a safe over-estimate: strict group filtering only shrinks it).
-        sp_density = _popcount(ptab) / float(nspan * stride)
+        sp_density = _popcount(ptab) / float((1 << (2 * span)) * stride)
         t16_fp = (
             _popcount(t16) / float(1 << t16_bits) if t16_bits else 1.0
         )
@@ -605,6 +643,7 @@ def compile_table(
         qbloom_s = np.zeros(1, dtype=np.uint32)
         t16 = np.zeros(1, dtype=np.uint32)
         t16_bits = 0
+        sq_bits = q_bits
         sq_density = sp_density = t16_real = t16_fp = 1.0
 
     table = DeviceTable(
@@ -648,6 +687,9 @@ def compile_table(
         stride=stride,
         qbloom_bits=qbloom_bits,
         exact_group=exact_group,
+        q_bits=q_bits,
+        sq_bits=sq_bits,
+        q_density=q_density,
         strict=strict,
         t16_bits=t16_bits,
         sq_density=sq_density,

@@ -56,12 +56,24 @@ def _check_group_tables(res, table, meta, wordsize):
             suf = rng.randrange(1 << nsuf) if nsuf else 0
             samples.append(pre | (k << (2 * d)) | (suf << (2 * (d + wordsize))))
 
+    # the group table may be host-truncated (q_bits < 2*span): its key is
+    # then the span value's LOW q_bits, and the bit is the OR over every
+    # completion of the dropped top bases — a strict superset filter
+    truncated = meta.q_bits < 2 * span
+    qmask = (1 << meta.q_bits) - 1
+    assert len(qbloom) * 32 == 1 << meta.q_bits
+
     for v in samples:
         phases = [
             d for d in range(stride) if ((v >> (2 * d)) & mask) in keyset
         ]
-        got_any = (int(qbloom[v >> 5]) >> (v & 31)) & 1
-        assert got_any == (1 if phases else 0), (v, phases)
+        vq = v & qmask
+        got_any = (int(qbloom[vq >> 5]) >> (vq & 31)) & 1
+        if truncated:
+            # no false negatives allowed; false positives are by design
+            assert not (phases and not got_any), (v, phases)
+        else:
+            assert got_any == (1 if phases else 0), (v, phases)
         word = int(ptab[v >> NPS])
         nb = (word >> ((v & ((1 << NPS) - 1)) * stride)) & ((1 << stride) - 1)
         expect_nb = sum(1 << d for d in phases)
@@ -90,3 +102,95 @@ class TestDenseGroupTables:
         res, table, meta = _build(3000, 12)
         assert meta.exact_group and meta.stride == 2
         _check_group_tables(res, table, meta, 12)
+
+
+@pytest.mark.unit
+class TestGroupTableTruncation:
+    def test_fold_is_quarter_or(self):
+        """One fold: bit[v'] == OR over b of bit[v' | b << (bits-2)]."""
+        from merpcr_tpu.ops.table import _truncate_group_table
+
+        rng = np.random.default_rng(7)
+        bits = 28
+        # sparse bitmap so folding passes the density rule
+        tab = np.zeros((1 << bits) // 32, dtype=np.uint32)
+        vals = rng.integers(0, 1 << bits, 5000, dtype=np.int64)
+        np.bitwise_or.at(
+            tab, vals >> 5, np.uint32(1) << (vals & 31).astype(np.uint32)
+        )
+        out, obits, dens = _truncate_group_table(tab.copy(), bits)
+        assert obits == 26  # GQ_TARGET_BITS
+        q = tab.reshape(4, -1)
+        want = (q[0] | q[1]) | (q[2] | q[3])
+        assert np.array_equal(out, want)
+        assert 0 < dens < 0.01
+        # every original set value is still set in the folded table
+        vq = vals & ((1 << obits) - 1)
+        assert np.all((out[vq >> 5] >> (vq & 31).astype(np.uint32)) & 1 == 1)
+
+    def test_dense_table_not_folded(self):
+        """Folding stops when it would add > GQ_MAX_ADDED_DENSITY."""
+        from merpcr_tpu.ops.table import _truncate_group_table
+
+        rng = np.random.default_rng(8)
+        bits = 28
+        tab = np.zeros((1 << bits) // 32, dtype=np.uint32)
+        vals = rng.integers(0, 1 << bits, 10_000_000, dtype=np.int64)
+        np.bitwise_or.at(
+            tab, vals >> 5, np.uint32(1) << (vals & 31).astype(np.uint32)
+        )
+        out, obits, dens = _truncate_group_table(tab, bits)
+        assert obits == 28  # a fold would ~4x the ~3.6% density: rejected
+
+    def test_engine_output_unchanged_by_truncation(self, tmp_path):
+        """Byte-equality across table truncation: the same search with the
+        full-span tables (truncation disabled via monkeypatching the fold
+        away) must produce identical output."""
+        import io
+        from contextlib import redirect_stdout
+        from unittest import mock
+
+        import merpcr_tpu
+        import merpcr_tpu.ops.table as table_mod
+
+        rng = random.Random(17)
+        g = list("".join(rng.choices("ACGT", k=40000)))
+        lines = []
+        for i in range(60):
+            p1 = "".join(rng.choices("ACGT", k=20))
+            p2 = "".join(rng.choices("ACGT", k=20))
+            prod = rng.randrange(60, 300)
+            lines.append(f"T{i}\t{p1}\t{p2}\t{prod}")
+            if i % 2 == 0:
+                pos = rng.randrange(0, len(g) - prod)
+                g[pos : pos + 20] = p1
+                g[pos + prod - 20 : pos + prod] = p2
+        sts = tmp_path / "t.sts"
+        fa = tmp_path / "t.fa"
+        sts.write_text("\n".join(lines) + "\n")
+        body = "".join(g)
+        fa.write_text(
+            ">t\n" + "\n".join(body[i : i + 70] for i in range(0, len(body), 70)) + "\n"
+        )
+
+        def run():
+            eng = merpcr_tpu.MerPCR()
+            assert eng.load_sts_file(str(sts))
+            recs = eng.load_fasta_file(str(fa))
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                eng.search(recs, None)
+            return buf.getvalue(), eng._meta
+
+        out_trunc, meta_t = run()
+        assert meta_t.q_bits == 26 and meta_t.sq_bits == 26  # really folded
+        with mock.patch.object(
+            table_mod,
+            "_truncate_group_table",
+            side_effect=lambda tab, bits: (
+                tab, bits, table_mod._popcount(tab) / float(1 << bits)
+            ),
+        ):
+            out_full, meta_f = run()
+        assert meta_f.q_bits == 28
+        assert out_trunc == out_full and out_trunc.count("\n") >= 20

@@ -36,6 +36,7 @@ cfg = S.default_config(
     exact_group=meta.exact_group,
     # production front end: strict + t16 exactly as engine._base_config
     strict=meta.strict, t16_bits=meta.t16_bits,
+    q_density=meta.q_density,
     sq_density=meta.sq_density, sp_density=meta.sp_density,
     t16_real=meta.t16_real, t16_fp=meta.t16_fp,
 )
