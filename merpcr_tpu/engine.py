@@ -179,7 +179,9 @@ class MerPCR:
         return FASTALoader.load_file(filename)
 
     # ---------------------------------------------------------------- search
-    def _base_config(self, tile_len: int, packed: bool = True) -> ScanConfig:
+    def _base_config(
+        self, tile_len: int, packed: bool = True, stream: bool = False
+    ) -> ScanConfig:
         m = self._meta
         # Extension-strict front end is only sound at N == 0 (every active
         # primer base must match exactly, so extension bases prefilter);
@@ -205,6 +207,7 @@ class MerPCR:
             n_unique=m.n_unique,
             strict=strict,
             t16_bits=m.t16_bits if strict else 0,
+            stream=stream,
             q_density=m.q_density,
             sq_density=m.sq_density,
             sp_density=m.sp_density,
@@ -413,99 +416,215 @@ class MerPCR:
             return np.zeros((0, 6), dtype=np.int64)
         return np.concatenate(chunks, axis=0)
 
-    # Max single-tile records batched into one device call (padded to a
-    # power-of-two bucket so a handful of compiled programs covers all
-    # batch sizes). Scaffold-heavy FASTA would otherwise pay per-record
-    # dispatch latency that exceeds each record's compute.
-    BATCH_MAX = 64
+    # Stream-mode limits: records per stream chunk (rmeta row bucket) and
+    # scan positions per chunk (plane memory + int32 coordinate safety).
+    STREAM_MAX_RECORDS = 1 << 16
+    STREAM_MAX_POSITIONS = 1 << 28
 
-    def _dispatch_batch(self, items):
-        """Phase 1 for a RUN of consecutive single-tile packed records:
-        one stacked plane H2D + one dispatch scans them all.
+    @staticmethod
+    def _stream_layout(items):
+        """Concatenated-record layout: each record starts at a multiple of
+        8 positions (u32-unit + nibble-byte alignment) with at least one
+        gap position after its predecessor. Gap bytes are dirty nibbles
+        (0xFF), so no scan window crosses a record boundary — and every
+        candidate is record-bounds-checked on device anyway (scan.py
+        stream mode). Returns (rmeta int32[R, 2], stream_len)."""
+        rmeta = np.empty((len(items), 2), dtype=np.int32)
+        cur = 0
+        for i, (seq, _p) in enumerate(items):
+            start = -(-(cur + 1) // 8) * 8 if i else 0
+            rmeta[i, 0] = start
+            rmeta[i, 1] = len(seq)
+            cur = start + len(seq)
+        return rmeta, cur
 
-        ``items``: list of (seq_bytes, packed_rec) with
-        len(seq) - W + 1 <= tile bucket for the run's max record."""
-        from .ops.scan import get_batch_scan_fn
+    def _dispatch_stream(self, items):
+        """Phase 1 for a RUN of consecutive packed records of ANY sizes:
+        concatenate them (gap-separated) into one nibble plane and scan it
+        as ordinary big tiles — all per-tile/per-dispatch fixed costs
+        amortize across the whole run (scaffold-heavy FASTA would
+        otherwise pay ~0.5 ms per tiny record).
 
-        B = len(items)
-        tile_len = self._tile_len_override or self._pick_tile_len(
-            max(len(s) - self.wordsize + 1 for s, _ in items)
-        )
-        cfg0 = self._base_config(tile_len, packed=True)
-        bucket = 2
-        while bucket < B:
-            bucket *= 2
-        buf_in = cfg0.tile_buf_in
+        ``items``: list of (seq_bytes, packed_rec)."""
+        import jax
+
+        from .ops.scan import get_stream_scan_fn
+
+        rmeta, stream_len = self._stream_layout(items)
+        total_scan = stream_len - self.wordsize + 1
+        tile_len = self._tile_len_override or self._pick_tile_len(total_scan)
+        cfg0 = self._base_config(tile_len, packed=True, stream=True)
+        L = cfg0.tile_len
+        n_tiles = -(-total_scan // L)
+        G = self._tile_group(cfg0)
+        n_groups = -(-n_tiles // G)
+        glen = (cfg0.lead + G * L + cfg0.tail) // 2
+
+        # rmeta rows pad to a power-of-two bucket (jit retraces per bucket,
+        # not per record count); padding rows start at INT32_MAX so the
+        # on-device searchsorted never selects them.
+        rb = 1
+        while rb < len(items):
+            rb *= 2
+        rmeta_p = np.full((rb, 2), np.iinfo(np.int32).max, dtype=np.int32)
+        rmeta_p[:, 1] = 0
+        rmeta_p[: len(items)] = rmeta
 
         owner0 = items[0][1]
         cache = self._device_plane_cache.setdefault(id(owner0), {})
         cache["_owner"] = owner0
         ck = (
-            "batch", bucket, cfg0.lead, cfg0.tail, cfg0.tile_len,
+            "stream", cfg0.lead, cfg0.tail, L, G,
             tuple(id(p) for _, p in items),
         )
         cached = cache.get(ck)
         if cached is None:
-            planes = np.zeros((bucket, buf_in), dtype=np.uint8)
-            for b, (_seq, packed_rec) in enumerate(items):
-                planes[b, cfg0.lead // 2 : cfg0.lead // 2 + len(packed_rec)] = (
-                    packed_rec
-                )
-            import jax
-
+            # dirty-fill, then overwrite record spans (records are byte-
+            # aligned in packed space: starts are multiples of 8 positions
+            # and lead is a multiple of 32)
+            plane = np.full(
+                (cfg0.lead + n_groups * G * L + cfg0.tail) // 2,
+                0xFF,
+                dtype=np.uint8,
+            )
+            lead_b = cfg0.lead // 2
+            for (seq, packed_rec), (start, _len) in zip(items, rmeta):
+                b0 = lead_b + int(start) // 2
+                plane[b0 : b0 + len(packed_rec)] = packed_rec
+            groups = [
+                jax.device_put(plane[g * G * L // 2 : g * G * L // 2 + glen])
+                for g in range(n_groups)
+            ]
             if len(self._device_plane_cache) > 64:
                 self._device_plane_cache.clear()
                 cache = self._device_plane_cache.setdefault(id(owner0), {})
                 cache["_owner"] = owner0
-            # keep every packed record alive while its id keys the cache
-            cached = (jax.device_put(planes), [p for _, p in items])
+            # keep the host plane for overflow rescans + packed recs alive
+            cached = (groups, plane, [p for _, p in items])
             cache[ck] = cached
-        planes_dev = cached[0]
+        groups, plane_host = cached[0], cached[1]
 
-        total_scan = np.zeros(bucket, dtype=np.int32)
-        record_len = np.zeros(bucket, dtype=np.int32)
-        for b, (seq, _p) in enumerate(items):
-            total_scan[b] = len(seq) - self.wordsize + 1
-            record_len[b] = len(seq)
-        fn = get_batch_scan_fn(cfg0, bucket)
-        pend = fn(
-            self._table,
-            planes_dev,
-            np.zeros(bucket, dtype=np.int32),
-            total_scan,
-            record_len,
-            self._runtime_params(),
+        fn = get_stream_scan_fn(cfg0, G)
+        rmeta_dev = jax.device_put(rmeta_p)
+        pend = [
+            fn(
+                self._table,
+                groups[g],
+                np.int32(g * G * L),
+                np.int32(total_scan),
+                np.int32(stream_len),
+                rmeta_dev,
+                self._runtime_params(),
+            )
+            for g in range(n_groups)
+        ]
+        return (
+            "stream", cfg0, len(items), n_tiles, pend,
+            (plane_host, rmeta_p, total_scan, stream_len),
         )
-        return ("batch", cfg0, items, pend)
 
-    def _collect_batch(self, ctx):
-        """Phase 2 for a batch: returns one (n_hits, 6) array per item."""
+    def _collect_stream(self, ctx):
+        """Phase 2 for a stream: one (n_hits, 7) row array per item, split
+        by the on-device record index (column 6)."""
         import jax
 
-        _, cfg0, items, pend = ctx
-        out = jax.device_get(pend)
+        _, cfg0, n_items, n_tiles, pend, rescan_ctx = ctx
+        host = jax.device_get(pend)
+        out = type(pend[0])(*(np.concatenate(cols) for cols in zip(*host)))
         overflow = (
-            (out.c_total > cfg0.cpos_cap)
-            | (out.pos_total > cfg0.pos_cap)
-            | (out.pair_total > cfg0.cand_cap)
-            | (out.anch_total > cfg0.anch_cap)
-            | (out.hit_total > cfg0.hit_cap)
+            (np.asarray(out.c_total) > cfg0.cpos_cap)
+            | (np.asarray(out.pos_total) > cfg0.pos_cap)
+            | (np.asarray(out.pair_total) > cfg0.cand_cap)
+            | (np.asarray(out.anch_total) > cfg0.anch_cap)
+            | (np.asarray(out.hit_total) > cfg0.hit_cap)
         )
-        arrs = []
-        for b, (seq, _p) in enumerate(items):
-            if overflow[b]:
-                arrs.append(self._rescan_tile(cfg0, seq, len(seq), 0))
-                continue
-            ht = int(out.hit_total[b])
-            rows = np.empty((ht, 6), dtype=np.int64)
-            rows[:, 0] = out.pos1[b, :ht]
-            rows[:, 1] = out.pos2[b, :ht]
-            rows[:, 2] = out.entry[b, :ht]
-            rows[:, 3] = 0
-            rows[:, 4] = out.pair_order[b, :ht]
-            rows[:, 5] = out.rank[b, :ht]
-            arrs.append(rows)
-        return arrs
+        chunks = []
+        h_tot = np.asarray(out.hit_total)
+        for t in range(n_tiles):
+            if not overflow[t]:
+                ht = int(h_tot[t])
+                if not ht:
+                    continue
+                rows = np.empty((ht, 7), dtype=np.int64)
+                rows[:, 0] = out.pos1[t, :ht]
+                rows[:, 1] = out.pos2[t, :ht]
+                rows[:, 2] = out.entry[t, :ht]
+                rows[:, 3] = t
+                rows[:, 4] = out.pair_order[t, :ht]
+                rows[:, 5] = out.rank[t, :ht]
+                rows[:, 6] = out.rec[t, :ht]
+                chunks.append(rows)
+            else:
+                chunks.append(self._rescan_stream_tile(cfg0, rescan_ctx, t))
+        allrows = (
+            np.concatenate(chunks, axis=0)
+            if chunks
+            else np.zeros((0, 7), dtype=np.int64)
+        )
+        return [allrows[allrows[:, 6] == i][:, :6] for i in range(n_items)]
+
+    def _rescan_stream_tile(self, cfg0, rescan_ctx, tile_idx):
+        """Retry one overflowing STREAM tile with escalated capacities."""
+        import jax
+
+        from .ops.scan import get_stream_scan_fn
+
+        plane_host, rmeta_p, total_scan, stream_len = rescan_ctx
+        tile_start = tile_idx * cfg0.tile_len
+        cfg = cfg0.escalate()
+        for _ in range(MAX_ESCALATIONS):
+            # plane_host includes cfg0.lead of left padding, and escalation
+            # never changes lead/tail — tile t's buffer is the plane bytes
+            # [tile_start // 2, tile_start // 2 + tile_buf_in)
+            src0 = tile_start // 2
+            buf = plane_host[src0 : src0 + cfg.tile_buf_in]
+            if len(buf) < cfg.tile_buf_in:
+                buf = np.concatenate(
+                    [buf, np.zeros(cfg.tile_buf_in - len(buf), np.uint8)]
+                )
+            fn = get_stream_scan_fn(cfg, 1)
+            out = jax.device_get(
+                fn(
+                    self._table,
+                    buf,
+                    np.int32(tile_start),
+                    np.int32(total_scan),
+                    np.int32(stream_len),
+                    rmeta_p,
+                    self._runtime_params(),
+                )
+            )
+            c, x, p, a_, ht = (
+                int(out.c_total[0]),
+                int(out.pos_total[0]),
+                int(out.pair_total[0]),
+                int(out.anch_total[0]),
+                int(out.hit_total[0]),
+            )
+            if (
+                c <= cfg.cpos_cap
+                and x <= cfg.pos_cap
+                and p <= cfg.cand_cap
+                and a_ <= cfg.anch_cap
+                and ht <= cfg.hit_cap
+            ):
+                rows = np.empty((ht, 7), dtype=np.int64)
+                rows[:, 0] = out.pos1[0, :ht]
+                rows[:, 1] = out.pos2[0, :ht]
+                rows[:, 2] = out.entry[0, :ht]
+                rows[:, 3] = tile_idx
+                rows[:, 4] = out.pair_order[0, :ht]
+                rows[:, 5] = out.rank[0, :ht]
+                rows[:, 6] = out.rec[0, :ht]
+                return rows
+            logger.debug(
+                "stream tile %d overflow (cpos %d/%d pos %d/%d cand %d/%d "
+                "anch %d/%d hit %d/%d); escalating",
+                tile_idx, c, cfg.cpos_cap, x, cfg.pos_cap, p, cfg.cand_cap,
+                a_, cfg.anch_cap, ht, cfg.hit_cap,
+            )
+            cfg = cfg.escalate()
+        raise RuntimeError("stream tile capacity escalation failed to converge")
 
     def _rescan_tile(
         self, cfg0: ScanConfig, seq: np.ndarray, n: int, tile_idx: int
@@ -612,34 +731,35 @@ class MerPCR:
         if have_table:
             from .io.fasta import record_packed
 
-        # Dispatch plan: consecutive SINGLE-TILE packed records batch into
-        # one device call (scaffold-heavy FASTA would otherwise pay a
-        # full dispatch latency per tiny record); everything else goes
-        # through the per-record path. Order == FASTA order throughout.
+        # Dispatch plan: RUNS of consecutive packed records (any sizes)
+        # concatenate into one gap-separated stream plane scanned as big
+        # tiles (scaffold-heavy FASTA would otherwise pay a dispatch +
+        # per-tile fixed cost per tiny record); lone or unpackable records
+        # go through the per-record path. Order == FASTA order throughout.
         plan = []
         if have_table and self.mesh is None:
             run: List[int] = []
+            run_pos = 0
 
             def _flush():
+                nonlocal run_pos
                 if len(run) >= 2:
-                    plan.append(("batch", run.copy()))
+                    plan.append(("stream", run.copy()))
                 else:
                     plan.extend(("single", j) for j in run)
                 run.clear()
+                run_pos = 0
 
             for i, rec in enumerate(fasta_records):
-                ts = len(rec.sequence) - self.wordsize + 1
-                bucket = self._tile_len_override or self._pick_tile_len(
-                    max(ts, 1)
-                )
-                if (
-                    ts > 0
-                    and ts <= bucket
-                    and record_packed(rec) is not None
-                ):
-                    run.append(i)
-                    if len(run) >= self.BATCH_MAX:
+                n = len(rec.sequence)
+                if n > 0 and record_packed(rec) is not None:
+                    if (
+                        run_pos + n + 8 > self.STREAM_MAX_POSITIONS
+                        or len(run) >= self.STREAM_MAX_RECORDS
+                    ):
                         _flush()
+                    run.append(i)
+                    run_pos += n + 8
                 else:
                     _flush()
                     plan.append(("single", i))
@@ -656,7 +776,7 @@ class MerPCR:
                 return self._dispatch_record(
                     record_seq_bytes(rec), record_packed(rec)
                 )
-            return self._dispatch_batch(
+            return self._dispatch_stream(
                 [
                     (
                         record_seq_bytes(fasta_records[j]),
@@ -689,7 +809,7 @@ class MerPCR:
                     ]
                 else:
                     idxs = item[1]
-                    arrs = self._collect_batch(ctx)
+                    arrs = self._collect_stream(ctx)
 
                 for j, arr in zip(idxs, arrs):
                     record = fasta_records[j]

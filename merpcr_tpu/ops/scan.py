@@ -108,6 +108,15 @@ class ScanConfig:
     # to ~real-match density before pair expansion (see table._build_strict).
     strict: bool = False
     t16_bits: int = 0
+    # Stream mode: the tile holds MANY concatenated records separated by
+    # dirty-nibble gaps (which the ambiguity masks already exclude, so no
+    # scan window or candidate ever crosses a boundary). Per-candidate
+    # record identity is recovered with one searchsorted over the packed
+    # record-start column of ``rmeta`` (int32[RB, 2] = global start, len);
+    # all bounds/margin clamps then run in record-local coordinates and
+    # hits carry a record index. Amortizes every per-tile and per-dispatch
+    # fixed cost across scaffold-sized records.
+    stream: bool = False
 
     @property
     def tile_buf(self) -> int:
@@ -146,11 +155,12 @@ class ScanOut(NamedTuple):
     pair_total: jnp.ndarray  # int32 — (pos, slot) pairs expanded
     anch_total: jnp.ndarray  # int32 — primer1-passing anchors
     hit_total: jnp.ndarray  # int32 — hits emitted
-    pos1: jnp.ndarray  # int32[hit_cap] global 0-based anchor position
-    pos2: jnp.ndarray  # int32[hit_cap] global 0-based amplicon end (inclusive)
+    pos1: jnp.ndarray  # int32[hit_cap] RECORD-local 0-based anchor position
+    pos2: jnp.ndarray  # int32[hit_cap] record-local amplicon end (inclusive)
     entry: jnp.ndarray  # int32[hit_cap] device entry index
     pair_order: jnp.ndarray  # int32[hit_cap] within-tile emission key (major)
     rank: jnp.ndarray  # int32[hit_cap] within-anchor emission key (minor)
+    rec: jnp.ndarray  # int32[hit_cap] rmeta row of the hit (0 single-record)
 
 
 def _byte_fold(b: jnp.ndarray) -> jnp.ndarray:
@@ -246,7 +256,7 @@ def _row_window(
 def _empty_out(cfg: ScanConfig) -> ScanOut:
     z = jnp.int32(0)
     zh = jnp.zeros((cfg.hit_cap,), jnp.int32)
-    return ScanOut(z, z, z, z, z, zh, zh, zh, zh, zh)
+    return ScanOut(z, z, z, z, z, zh, zh, zh, zh, zh, zh)
 
 
 def _scan_tile(
@@ -255,14 +265,16 @@ def _scan_tile(
     tile_bytes: jnp.ndarray,  # uint8[TB]
     tile_start: jnp.ndarray,  # int32 scalar: global scan pos of local index 0
     n_scan: jnp.ndarray,  # int32 scalar: valid scan positions (<= tile_len)
-    record_len: jnp.ndarray,  # int32 scalar: global record length
+    record_len: jnp.ndarray,  # int32 scalar: global record/stream length
     rt: jnp.ndarray,  # int32[3]: runtime (-M margin <= cap, -N, -X)
+    rmeta: jnp.ndarray | None = None,  # stream mode: int32[RB, 2] (start, len)
 ) -> ScanOut:
     """Scan one tile; padding tiles (n_scan <= 0) short-circuit via cond."""
     return jax.lax.cond(
         n_scan > 0,
         lambda: _scan_tile_impl(
-            cfg, table, tile_bytes, tile_start, n_scan, record_len, rt
+            cfg, table, tile_bytes, tile_start, n_scan, record_len, rt,
+            rmeta=rmeta,
         ),
         lambda: _empty_out(cfg),
     )
@@ -278,6 +290,7 @@ def _scan_tile_impl(
     rt=None,  # int32[3] runtime (margin, mismatches, three_prime); None ->
     #           (cap, 0, 1) — only used by profiling harnesses
     stop: str | None = None,  # profiling hook: truncate after a stage
+    rmeta: jnp.ndarray | None = None,  # stream mode (cfg.stream)
 ) -> ScanOut:
     def _stopped(*vals):
         acc = jnp.int32(0)
@@ -680,10 +693,28 @@ def _scan_tile_impl(
     # ---- 6. primer1 verify (reference engine.py:486-515, 599-642 '+') -----
     em = table.emeta[entry]  # one row gather for all per-entry scalars
     hoff = em[:, 0]
-    kg = tile_start + ppos - hoff  # global anchor
+    kg = tile_start + ppos - hoff  # global (stream) anchor: plane math
     kl = ppos - hoff + LEAD  # local buffer index of anchor
     l1 = em[:, 1]
-    inb = (kg >= 0) & (kg + l1 <= record_len)  # engine.py:487
+    if cfg.stream:
+        # Record identity per candidate: one searchsorted over the packed
+        # record starts (rmeta rows ascend; padding rows start at
+        # INT32_MAX so they never match). Every bound below then runs in
+        # RECORD-local coordinates — windows reaching into a gap or the
+        # next record are structurally masked, so gap bytes never matter.
+        RB = rmeta.shape[0]
+        gpos = tile_start + ppos
+        rid = jnp.clip(
+            jnp.searchsorted(rmeta[:, 0], gpos, side="right") - 1, 0, RB - 1
+        )
+        rrow = rmeta[rid]  # one 2-col row gather: (start, len)
+        kg_rec = kg - rrow[:, 0]
+        rlen_c = rrow[:, 1]
+    else:
+        rid = jnp.zeros_like(kg)
+        kg_rec = kg
+        rlen_c = jnp.broadcast_to(record_len, kg.shape)
+    inb = (kg_rec >= 0) & (kg_rec + l1 <= rlen_c)  # engine.py:487
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (cfg.cand_cap, cfg.p1_max), 1)
     if cfg.packed and TB % 32 == 0:
@@ -731,7 +762,10 @@ def _scan_tile_impl(
         alane = jax.lax.broadcasted_iota(jnp.int32, (cfg.anch_cap,), 0)
         avalid = alane < anch_total
 
-        ak = kg[a_idx]
+        ak = kg[a_idx]  # global/plane anchor (window gather math)
+        ak_rec = kg_rec[a_idx]  # record-local anchor (bounds + output)
+        arl = rlen_c[a_idx]  # record length per anchor
+        arec = rid[a_idx]
         aentry = entry[a_idx]
         al1 = l1[a_idx]
         aem = table.emeta[aentry]
@@ -739,13 +773,14 @@ def _scan_tile_impl(
         aorder = a_idx  # pair index == within-tile emission major key
 
         # ---- 7. margin-window primer2 verify (engine.py:517-593) ----------
+        # All clamps in RECORD-local coordinates (reference semantics).
         exp0 = aem[:, 3]
-        avail = record_len - (ak + al1)
+        avail = arl - (ak_rec + al1)
         room = avail >= al2  # engine.py:524-525
-        actual = record_len - ak  # engine.py:528
+        actual = arl - ak_rec  # engine.py:528
         clamped = exp0 > actual
         exp = jnp.where(clamped, actual, exp0)  # engine.py:531-535
-        hi = jnp.where(clamped, 0, jnp.minimum(Mdyn, record_len - ak - exp))
+        hi = jnp.where(clamped, 0, jnp.minimum(Mdyn, arl - ak_rec - exp))
         lo = jnp.clip(jnp.minimum(Mdyn, exp - al1 - al2), 0)  # engine.py:538-540
 
         # rank r -> window offset d: r=0 -> 0; odd -> -(r+1)//2; even -> r//2
@@ -754,12 +789,12 @@ def _scan_tile_impl(
         dmag = (ranks + 1) // 2
         d = jnp.where(ranks % 2 == 1, -dmag, dmag)  # int32[R]
 
-        p2 = ak[:, None] + exp[:, None] - al2[:, None] + d[None, :]
-        struct = p2 + al2[:, None] <= record_len
+        p2 = ak_rec[:, None] + exp[:, None] - al2[:, None] + d[None, :]
+        struct = p2 + al2[:, None] <= arl[:, None]
         # k + len_p1 <= p2 is checked for d <= 0 only (engine.py:546, 568;
         # the hi loop at engine.py:581-583 omits it)
         struct &= jnp.where(
-            d[None, :] <= 0, p2 >= ak[:, None] + al1[:, None], True
+            d[None, :] <= 0, p2 >= ak_rec[:, None] + al1[:, None], True
         )
         rmask = jnp.where(
             d[None, :] == 0,
@@ -836,18 +871,19 @@ def _scan_tile_impl(
         hp2 = p2[a_of, r_of]
         return (
             hit_total,
-            ak[a_of],
+            ak_rec[a_of],
             hp2 + al2[a_of] - 1,
             aentry[a_of],
             aorder[a_of],
             r_of,
+            arec[a_of],
         )
 
     def _no_anchors():
         zh = jnp.zeros((cfg.hit_cap,), jnp.int32)
-        return jnp.int32(0), zh, zh, zh, zh, zh
+        return jnp.int32(0), zh, zh, zh, zh, zh, zh
 
-    hit_total, pos1, pos2, entry_o, pair_order, rank = jax.lax.cond(
+    hit_total, pos1, pos2, entry_o, pair_order, rank, rec = jax.lax.cond(
         anch_total > 0, _margin_stage, _no_anchors
     )
     return ScanOut(
@@ -861,6 +897,7 @@ def _scan_tile_impl(
         entry=entry_o,
         pair_order=pair_order,
         rank=rank,
+        rec=rec,
     )
 
 
@@ -909,27 +946,33 @@ def get_record_scan_fn(cfg: ScanConfig, n_tiles: int):
 
 
 @lru_cache(maxsize=64)
-def get_batch_scan_fn(cfg: ScanConfig, n_rows: int):
-    """Batched scan: ONE device call scans n_rows independent tiles, each
-    with its own plane row and (tile_start, total_scan, record_len)
-    scalars — used to batch many small RECORDS (scaffold-heavy FASTA)
-    into one dispatch, where per-record dispatch latency would otherwise
-    dominate. Padding rows (total_scan <= tile_start) short-circuit via
-    the n_scan <= 0 cond in _scan_tile."""
+def get_stream_scan_fn(cfg: ScanConfig, n_tiles: int):
+    """Stream scan: ONE device call runs n_tiles tiles of a CONCATENATED
+    multi-record plane (records separated by dirty-nibble gaps; per-hit
+    record identity recovered on-device via rmeta — see ScanConfig.stream).
 
-    def f(table, planes, tile_start, total_scan, record_len, rt):
-        def body(b):
-            n_scan = jnp.clip(
-                total_scan[b] - tile_start[b], 0, cfg.tile_len
+    This replaces per-record dispatch for scaffold-heavy FASTA: all
+    per-tile and per-dispatch fixed costs amortize over ~2M positions per
+    tile regardless of record sizes. cfg must have stream=True."""
+
+    stride = cfg.tile_len // 2 if cfg.packed else cfg.tile_len
+
+    def f(table, padded, start0, total_scan, stream_len, rmeta, rt):
+        def body(t):
+            tb = jax.lax.dynamic_slice(
+                padded, (t * stride,), (cfg.tile_buf_in,)
             )
+            gstart = start0 + t * cfg.tile_len
+            n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
             return _scan_tile(
-                cfg, table, planes[b], tile_start[b], n_scan,
-                record_len[b], rt,
+                cfg, table, tb, gstart, n_scan, stream_len, rt, rmeta=rmeta
             )
 
-        return jax.lax.map(body, jnp.arange(n_rows, dtype=jnp.int32))
+        return jax.lax.map(body, jnp.arange(n_tiles, dtype=jnp.int32))
 
     return jax.jit(f)
+
+
 
 
 def margin_cap(margin: int) -> int:
@@ -958,6 +1001,7 @@ def default_config(
     n_unique: int = 0,
     strict: bool = False,
     t16_bits: int = 0,
+    stream: bool = False,
     q_density: float = -1.0,
     sq_density: float = 1.0,
     sp_density: float = 1.0,
@@ -1056,6 +1100,11 @@ def default_config(
         expect_cands = int(tile_len * min(1.0, sp_density) * avg_bucket)
     else:
         expect_cands = int(tile_len * (p_real + trunc_fp))
+    # Capacity floors stay at lane-aligned 1024/2048 even for small tiles:
+    # measured (tools/batch_sweep.py, TPU): shrinking them to ~256/512
+    # made the batched small-tile scan SLOWER (49 -> 61 ms/batch) — the
+    # compact/expand stages' fixed cost is not lane-bound at these sizes,
+    # and sub-1024 (non 8x128) lane counts pad/relayout poorly.
     cpos_cap = min(max(1024, int(1.5 * expect_units) + 256), units)
     pos_cap = min(max(1024, int(1.5 * expect_pos) + 256), tile_len)
     cand_cap = min(max(2048, int(1.3 * expect_cands) + 512), 4 * tile_len)
@@ -1069,6 +1118,7 @@ def default_config(
         exact_group=exact_group,
         strict=strict,
         t16_bits=t16_bits,
+        stream=stream,
         tile_len=tile_len,
         lead=lead,
         tail=tail,

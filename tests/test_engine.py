@@ -278,11 +278,13 @@ class TestReproducibility:
         assert a1.startswith("a\t") and b1.startswith("b\t")
 
 
-class TestBatchPlan:
-    def test_single_tile_records_batch_into_one_dispatch(self, tmp_path, monkeypatch):
-        """Consecutive small records go through _dispatch_batch (one
-        device call per run), large records through _dispatch_record,
-        and output equals the unbatched path record-for-record."""
+class TestStreamPlan:
+    def test_consecutive_records_stream_into_one_dispatch(
+        self, tmp_path, monkeypatch
+    ):
+        """Consecutive packed records — small AND multi-tile large —
+        concatenate into ONE stream dispatch, and the output equals the
+        per-record path record-for-record (same bytes, FASTA order)."""
         rng = np.random.default_rng(21)
         recs_fa = []
         for c in range(7):
@@ -296,35 +298,39 @@ class TestBatchPlan:
         sts = tmp_path / "s.sts"
         sts.write_text(f"S1\t{P1}\t{P2}\t200\n")
 
-        batch_calls, single_calls = [], []
+        stream_calls, single_calls = [], []
 
-        def run(counting):
+        def run(counting, force_single=False):
             e = MerPCR()
             e._tile_len_override = 16384  # record 3 -> multi-tile
             assert e.load_sts_file(str(sts))
             if counting:
-                ob, osd = MerPCR._dispatch_batch, MerPCR._dispatch_record
+                ob, osd = MerPCR._dispatch_stream, MerPCR._dispatch_record
 
                 def cb(self, items):
-                    batch_calls.append(len(items))
+                    stream_calls.append(len(items))
                     return ob(self, items)
 
                 def cs(self, *a, **k):
                     single_calls.append(1)
                     return osd(self, *a, **k)
 
-                monkeypatch.setattr(MerPCR, "_dispatch_batch", cb)
+                monkeypatch.setattr(MerPCR, "_dispatch_stream", cb)
                 monkeypatch.setattr(MerPCR, "_dispatch_record", cs)
+            if force_single:
+                # disable streaming: every record takes the single path
+                monkeypatch.setattr(MerPCR, "STREAM_MAX_RECORDS", 1)
             out = search_text(e, fa, tmp_path)
             if counting:
-                monkeypatch.setattr(MerPCR, "_dispatch_batch", ob)
+                monkeypatch.setattr(MerPCR, "_dispatch_stream", ob)
                 monkeypatch.setattr(MerPCR, "_dispatch_record", osd)
             return out
 
         got = run(True)
-        assert batch_calls == [3, 3]  # runs split around the big record
-        assert single_calls == [1]  # the big record alone
+        assert stream_calls == [7]  # one stream covers the whole FASTA
+        assert single_calls == []
         assert len(got.splitlines()) == 7
         # order is FASTA order: r0..r6
         labels = [ln.split("\t")[0] for ln in got.splitlines()]
         assert labels == [f"r{c}" for c in range(7)]
+        assert got == run(False, force_single=True)  # byte-equal paths
