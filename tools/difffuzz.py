@@ -109,12 +109,25 @@ def gen_case(rng, case_idx):
                 g[pos + prod - len(rc) : pos + prod] = rc
     genome = "".join(g)
 
-    n_rec = rng.randrange(1, 3)
+    # ~1/4 of cases are scaffold-shaped (many UNEVEN records, some tiny /
+    # sub-wordsize) to exercise the stream path's record mapping; the rest
+    # split evenly into 1-2 records
+    if rng.random() < 0.25:
+        n_rec = rng.randrange(3, 14)
+        cuts = sorted(
+            rng.randrange(0, len(genome) + 1) for _ in range(n_rec - 1)
+        )
+        bounds = [0, *cuts, len(genome)]
+    else:
+        n_rec = rng.randrange(1, 3)
+        per = max(1, len(genome) // n_rec)
+        bounds = [min(r * per, len(genome)) for r in range(n_rec)] + [
+            len(genome)
+        ]
     fasta_lines = []
-    per = max(1, len(genome) // n_rec)
-    for r in range(n_rec):
+    for r in range(len(bounds) - 1):
         fasta_lines.append(f">rec{case_idx}_{r} some description")
-        chunk = genome[r * per : (r + 1) * per] if r < n_rec - 1 else genome[(n_rec - 1) * per :]
+        chunk = genome[bounds[r] : bounds[r + 1]]
         for i in range(0, len(chunk), 70):
             fasta_lines.append(chunk[i : i + 70])
 
