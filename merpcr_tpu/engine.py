@@ -473,8 +473,9 @@ class MerPCR:
         owner0 = items[0][1]
         cache = self._device_plane_cache.setdefault(id(owner0), {})
         cache["_owner"] = owner0
+        mesh_mode = self.mesh is not None
         ck = (
-            "stream", cfg0.lead, cfg0.tail, L, G,
+            "stream", cfg0.lead, cfg0.tail, L, G, mesh_mode,
             tuple(id(p) for _, p in items),
         )
         cached = cache.get(ck)
@@ -491,10 +492,16 @@ class MerPCR:
             for (seq, packed_rec), (start, _len) in zip(items, rmeta):
                 b0 = lead_b + int(start) // 2
                 plane[b0 : b0 + len(packed_rec)] = packed_rec
-            groups = [
-                jax.device_put(plane[g * G * L // 2 : g * G * L // 2 + glen])
-                for g in range(n_groups)
-            ]
+            groups = (
+                []
+                if mesh_mode
+                else [
+                    jax.device_put(
+                        plane[g * G * L // 2 : g * G * L // 2 + glen]
+                    )
+                    for g in range(n_groups)
+                ]
+            )
             if len(self._device_plane_cache) > 64:
                 self._device_plane_cache.clear()
                 cache = self._device_plane_cache.setdefault(id(owner0), {})
@@ -503,6 +510,23 @@ class MerPCR:
             cached = (groups, plane, [p for _, p in items])
             cache[ck] = cached
         groups, plane_host = cached[0], cached[1]
+        rescan_ctx = (plane_host, rmeta_p, total_scan, stream_len)
+
+        if mesh_mode:
+            from .parallel.sharded import sharded_scan_stream
+
+            sout, n_shards, tps = sharded_scan_stream(
+                cfg0, self._table, plane_host, rmeta_p,
+                total_scan, stream_len, self.mesh,
+                rt=self._runtime_params(),
+            )
+            out = type(sout)(
+                *(
+                    np.asarray(x).reshape((n_shards * tps,) + x.shape[2:])
+                    for x in sout
+                )
+            )
+            return ("stream", cfg0, len(items), n_tiles, [out], rescan_ctx)
 
         fn = get_stream_scan_fn(cfg0, G)
         rmeta_dev = jax.device_put(rmeta_p)
@@ -518,10 +542,7 @@ class MerPCR:
             )
             for g in range(n_groups)
         ]
-        return (
-            "stream", cfg0, len(items), n_tiles, pend,
-            (plane_host, rmeta_p, total_scan, stream_len),
-        )
+        return ("stream", cfg0, len(items), n_tiles, pend, rescan_ctx)
 
     def _collect_stream(self, ctx):
         """Phase 2 for a stream: one (n_hits, 7) row array per item, split
@@ -734,10 +755,11 @@ class MerPCR:
         # Dispatch plan: RUNS of consecutive packed records (any sizes)
         # concatenate into one gap-separated stream plane scanned as big
         # tiles (scaffold-heavy FASTA would otherwise pay a dispatch +
-        # per-tile fixed cost per tiny record); lone or unpackable records
-        # go through the per-record path. Order == FASTA order throughout.
+        # per-tile fixed cost per tiny record) — sharded across the mesh
+        # when one is set; lone or unpackable records go through the
+        # per-record path. Order == FASTA order throughout.
         plan = []
-        if have_table and self.mesh is None:
+        if have_table:
             run: List[int] = []
             run_pos = 0
 

@@ -103,6 +103,97 @@ def shard_planes(
     return padded_shards, tile_start0, total_scan, tiles_per_shard
 
 
+@lru_cache(maxsize=32)
+def _get_sharded_stream_fn(cfg: ScanConfig, n_shards: int,
+                           tiles_per_shard: int, axis: str = "shard"):
+    """Compiled shard_map program for STREAM planes (cfg.stream): tiles of
+    a concatenated multi-record plane partitioned across shards, rmeta
+    replicated, hit buffers all-gathered."""
+
+    stride = cfg.tile_len // 2 if cfg.packed else cfg.tile_len
+
+    def per_shard(table, padded, tile_start0, total_scan, stream_len,
+                  rmeta, rt):
+        padded = padded[0]
+        start0 = tile_start0[0]
+
+        def body(t):
+            tb = jax.lax.dynamic_slice(padded, (t * stride,), (cfg.tile_buf_in,))
+            gstart = start0 + t * cfg.tile_len
+            n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
+            return _scan_tile(cfg, table, tb, gstart, n_scan, stream_len,
+                              rt, rmeta=rmeta)
+
+        out = jax.lax.map(body, jnp.arange(tiles_per_shard, dtype=jnp.int32))
+        return jax.tree.map(lambda x: jax.lax.all_gather(x, axis), out)
+
+    def run(mesh, table, padded_shards, tile_start0, total_scan,
+            stream_len, rmeta, rt):
+        fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(table, padded_shards, tile_start0, total_scan,
+                  stream_len, rmeta, rt)
+
+    return jax.jit(run, static_argnums=0)
+
+
+def shard_stream_planes(cfg: ScanConfig, plane: np.ndarray,
+                        total_scan: int, n_shards: int):
+    """Cut a prebuilt stream plane (lead + positions + tail, packed bytes)
+    into per-shard halo-padded slices. Returns
+    (padded_shards, tile_start0, tiles_per_shard)."""
+    L = cfg.tile_len
+    n_tiles = -(-total_scan // L)
+    tiles_per_shard = -(-n_tiles // n_shards)
+    span = tiles_per_shard * L
+    d = 2 if cfg.packed else 1
+    buf_len = (cfg.lead + span + cfg.tail) // d
+    padded_shards = np.zeros((n_shards, buf_len), dtype=np.uint8)
+    tile_start0 = np.zeros((n_shards,), dtype=np.int32)
+    for s in range(n_shards):
+        gstart = s * span
+        tile_start0[s] = gstart
+        # plane position of scan pos p is lead + p: shard s's buffer
+        # starts at plane position gstart (== lead + gstart - lead)
+        a = gstart // d
+        chunk = plane[a : a + buf_len]
+        padded_shards[s, : len(chunk)] = chunk
+    return padded_shards, tile_start0, tiles_per_shard
+
+
+def sharded_scan_stream(
+    cfg: ScanConfig,
+    table: DeviceTable,
+    plane: np.ndarray,
+    rmeta: np.ndarray,
+    total_scan: int,
+    stream_len: int,
+    mesh: Mesh,
+    axis: str = "shard",
+    rt: np.ndarray | None = None,
+):
+    """Scan a concatenated multi-record stream plane across a device mesh.
+
+    Returns (out, n_shards, tiles_per_shard); out leaves are
+    (n_shards, tiles_per_shard, ...) with global tile = shard * tps + t.
+    """
+    if rt is None:
+        rt = np.asarray([cfg.margin, 0, 1], dtype=np.int32)
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    padded_shards, tile_start0, tps = shard_stream_planes(
+        cfg, plane, total_scan, n_shards
+    )
+    fn = _get_sharded_stream_fn(cfg, n_shards, tps, axis)
+    out = fn(mesh, table, padded_shards, tile_start0,
+             np.int32(total_scan), np.int32(stream_len), rmeta, rt)
+    return out, n_shards, tps
+
+
 def sharded_scan_record(
     cfg: ScanConfig,
     table: DeviceTable,

@@ -243,3 +243,32 @@ def test_many_scaffolds_vs_oracle(tmp_path):
     want = run_search(ref, ref.load_fasta_file(fa))
     assert want.count("\n") >= 10
     assert _stream_output(sts, fa) == want
+
+
+@pytest.mark.parallel
+def test_stream_mesh_matches_single_device(tmp_path, monkeypatch):
+    """Mesh + stream: the sharded stream scan (tiles partitioned across
+    an 8-device mesh, rmeta replicated) must reproduce the single-device
+    stream output byte-for-byte."""
+    import jax
+
+    from merpcr_tpu.parallel.sharded import make_mesh
+
+    rng = random.Random(9)
+    recs = []
+    for i in range(14):
+        n = rng.randrange(40, 9000)
+        g = list("".join(rng.choices(BASES, k=n)))
+        if n > 300 and i % 2 == 0:
+            pos = rng.randrange(0, n - 220)
+            g[pos : pos + len(P1)] = P1
+            g[pos + 200 - len(P2) : pos + 200] = P2
+        recs.append("".join(g))
+    sts, fa = _write(tmp_path, f"S1\t{P1}\t{P2}\t200\n", recs)
+    want = _stream_output(sts, fa, tile=1 << 12)
+
+    eng = merpcr_tpu.MerPCR().use_mesh(make_mesh(jax.devices()))
+    eng._tile_len_override = 1 << 12
+    assert eng.load_sts_file(sts)
+    got = run_search(eng, eng.load_fasta_file(fa))
+    assert got == want and got.count("\n") >= 6
