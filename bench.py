@@ -5,6 +5,8 @@ genome x 1000 random STS, W=11 N=0 M=50 T=1 -> ~3.2 Mbp/s/core in pure
 Python). Prints ONE JSON line with the north-star metric.
 
 Usage: python bench.py [--mbp 10] [--nsts 1000] [--repeat 3]
+       python bench.py --matrix          # every README row -> one JSON line
+                                         # each + BENCH_MATRIX.json artifact
 """
 
 from __future__ import annotations
@@ -102,6 +104,90 @@ def _ensure_live_backend(probe_timeout_s: int = 240) -> None:
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
+def run_config(
+    mbp=47.0, nsts=1000, repeat=3, mismatches=0, three_prime=1, iupac=0,
+    margin=50, planted=0, records=1, wordsize=11, row=None,
+):
+    """Measure one workload; returns the one-line JSON result dict."""
+    import merpcr_tpu
+
+    with tempfile.TemporaryDirectory() as td:
+        sts_path, fa_path, n = gen_data(
+            td, mbp, nsts, planted=planted, n_records=records
+        )
+
+        eng = merpcr_tpu.MerPCR(
+            wordsize=wordsize,
+            margin=margin,
+            mismatches=mismatches,
+            three_prime_match=three_prime,
+            iupac_mode=iupac,
+        )
+        assert eng.load_sts_file(sts_path)
+        recs = eng.load_fasta_file(fa_path)
+
+        # Warmup (compile + first run)
+        t0 = time.perf_counter()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            eng.search(recs, None)
+        warmup_s = time.perf_counter() - t0
+
+        times = []
+        for _ in range(repeat):
+            buf = io.StringIO()
+            t0 = time.perf_counter()
+            with redirect_stdout(buf):
+                hits = eng.search(recs, None)
+            times.append(time.perf_counter() - t0)
+
+        best = min(times)
+        mbp_per_s = (n / 1e6) / best
+        result = {
+            "metric": "Mbp_scanned_per_sec_per_chip",
+            "value": round(mbp_per_s, 2),
+            "unit": "Mbp/s/chip",
+            "vs_baseline": round(mbp_per_s / REF_MBP_PER_S, 2),
+            "detail": {
+                "genome_mbp": mbp,
+                "n_sts": nsts,
+                "records": records,
+                "params": {
+                    "W": wordsize, "M": margin, "N": mismatches,
+                    "X": three_prime, "I": iupac, "planted": planted,
+                },
+                "best_s": round(best, 4),
+                "all_s": [round(t, 4) for t in times],
+                "warmup_s": round(warmup_s, 2),
+                "hits": hits,
+                "backend": __import__("jax").default_backend(),
+            },
+        }
+        if row:
+            result["detail"]["row"] = row
+        return result
+
+
+# The README performance table, one entry per row: every published number
+# must be reproducible as `python bench.py --matrix` (VERDICT r2 #2 — the
+# reference's baseline-manager pattern, performance_baseline.py:233-302:
+# store what you claim).
+MATRIX = [
+    ("sparse_100", dict(nsts=100)),
+    ("sparse_1k", dict(nsts=1000)),
+    ("sparse_10k", dict(nsts=10000)),
+    ("dense_50k", dict(nsts=50000)),
+    ("planted_200", dict(nsts=1000, planted=200)),
+    ("iupac", dict(nsts=1000, iupac=1)),
+    ("mismatch_1", dict(nsts=1000, mismatches=1)),
+    ("scaffolds_3000", dict(mbp=30.0, nsts=1000, records=3000)),
+    ("w14_multhash", dict(nsts=1000, wordsize=14)),
+    ("w16_multhash", dict(nsts=1000, wordsize=16)),
+    ("margin_1000", dict(nsts=1000, margin=1000, planted=100)),
+    ("margin_10000", dict(nsts=1000, margin=10000, planted=100)),
+]
+
+
 def main():
     ap = argparse.ArgumentParser()
     # default mirrors BASELINE.json config #2 scale (human chr21 ~47 Mbp)
@@ -113,6 +199,7 @@ def main():
     ap.add_argument("--three-prime", type=int, default=1, help="-X")
     ap.add_argument("--iupac", type=int, default=0, help="-I (config #4)")
     ap.add_argument("--margin", type=int, default=50, help="-M")
+    ap.add_argument("--wordsize", type=int, default=11, help="-W")
     ap.add_argument(
         "--planted", type=int, default=0,
         help="plant this many real amplicons (hit-bearing workload)",
@@ -122,63 +209,39 @@ def main():
         help="split the genome into this many FASTA records "
         "(scaffold-heavy workload: exercises record batching)",
     )
+    ap.add_argument(
+        "--matrix", nargs="?", const="BENCH_MATRIX.json", default=None,
+        metavar="OUT.json",
+        help="run every README row; one JSON line each + artifact file",
+    )
+    ap.add_argument(
+        "--rows", default=None,
+        help="with --matrix: comma-separated row names to run (default all)",
+    )
     args = ap.parse_args()
 
     _ensure_live_backend()
-    import merpcr_tpu
 
-    with tempfile.TemporaryDirectory() as td:
-        sts_path, fa_path, n = gen_data(
-            td, args.mbp, args.nsts, planted=args.planted,
-            n_records=args.records,
-        )
+    if args.matrix:
+        want = set(args.rows.split(",")) if args.rows else None
+        results = []
+        for row, cfg in MATRIX:
+            if want and row not in want:
+                continue
+            res = run_config(repeat=args.repeat, row=row, **cfg)
+            print(json.dumps(res), flush=True)
+            results.append(res)
+        with open(args.matrix, "w") as fh:
+            json.dump(results, fh, indent=1)
+        return
 
-        eng = merpcr_tpu.MerPCR(
-            wordsize=11,
-            margin=args.margin,
-            mismatches=args.mismatches,
-            three_prime_match=args.three_prime,
-            iupac_mode=args.iupac,
-        )
-        assert eng.load_sts_file(sts_path)
-        records = eng.load_fasta_file(fa_path)
-
-        # Warmup (compile + first run)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            eng.search(records, None)
-
-        times = []
-        for _ in range(args.repeat):
-            buf = io.StringIO()
-            t0 = time.perf_counter()
-            with redirect_stdout(buf):
-                hits = eng.search(records, None)
-            times.append(time.perf_counter() - t0)
-
-        best = min(times)
-        mbp_per_s = (n / 1e6) / best
-        result = {
-            "metric": "Mbp_scanned_per_sec_per_chip",
-            "value": round(mbp_per_s, 2),
-            "unit": "Mbp/s/chip",
-            "vs_baseline": round(mbp_per_s / REF_MBP_PER_S, 2),
-            "detail": {
-                "genome_mbp": args.mbp,
-                "n_sts": args.nsts,
-                "records": args.records,
-                "params": {
-                    "M": args.margin, "N": args.mismatches,
-                    "X": args.three_prime, "I": args.iupac,
-                    "planted": args.planted,
-                },
-                "best_s": round(best, 4),
-                "all_s": [round(t, 4) for t in times],
-                "hits": hits,
-                "backend": __import__("jax").default_backend(),
-            },
-        }
-        print(json.dumps(result))
+    result = run_config(
+        mbp=args.mbp, nsts=args.nsts, repeat=args.repeat,
+        mismatches=args.mismatches, three_prime=args.three_prime,
+        iupac=args.iupac, margin=args.margin, planted=args.planted,
+        records=args.records, wordsize=args.wordsize,
+    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

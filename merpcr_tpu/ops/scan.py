@@ -57,6 +57,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .encoding import AMBIG, iupac_exp_masks
 from .table import DeviceTable
@@ -821,7 +822,33 @@ def _scan_tile_impl(
             )
             wb = plane_at(wbase_l[:, None] + jjj)  # [ANCH, span]
 
-        i2 = jax.lax.broadcasted_iota(jnp.int32, (R, cfg.p2_max), 1)
+        def _p2_ok_of(sb2):
+            """primer2 match mask over an [ANCH, r, P2MAX] window stack ->
+            [ANCH, r] (mismatch budget + head-X 3' protection,
+            engine.py:599-642 '-' strand)."""
+            i2c = jax.lax.broadcasted_iota(jnp.int32, sb2.shape, 2)
+            if cfg.packed:
+                if cfg.iupac:  # expansion-set intersection, all-arithmetic
+                    m2 = (
+                        _exp_nib_select(sb2)
+                        & table.p2_exp[aentry][:, None, :]
+                    ) != 0
+                else:
+                    pb2 = table.p2_codes[aentry].astype(jnp.int32)
+                    m2 = sb2 == pb2[:, None, :]
+            else:
+                pb2 = table.p2_bytes[aentry].astype(jnp.int32)
+                if cfg.iupac:
+                    m2 = table.match[sb2 * 256 + pb2[:, None, :]] != 0
+                else:
+                    m2 = _byte_fold(sb2) == _byte_fold(pb2)[:, None, :]
+            act2 = i2c < al2[:, None, None]
+            mm2 = act2 & ~m2
+            prot2 = i2c < X  # '-': first X bases (engine.py:610-611)
+            return ~jnp.any(mm2 & prot2, axis=2) & (
+                jnp.sum(mm2, axis=2) <= NMM
+            )
+
         if R <= 257:
             # rank offsets are compile-time constants, so each rank's
             # window is a contiguous STATIC slice of wb (vector loads) —
@@ -838,27 +865,33 @@ def _scan_tile_impl(
                 ],
                 axis=1,
             )  # [ANCH, R, P2MAX]
+            p2_ok = _p2_ok_of(sb2)
         else:
-            off = M + d[:, None] + i2  # static-range offsets in [0, span)
-            sb2 = wb[:, off]  # [ANCH, R, P2MAX] statically-known gather
-        if cfg.packed:
-            if cfg.iupac:  # expansion-set intersection, all-arithmetic
-                m2 = (
-                    _exp_nib_select(sb2) & table.p2_exp[aentry][:, None, :]
-                ) != 0
-            else:
-                pb2 = table.p2_codes[aentry].astype(jnp.int32)
-                m2 = sb2 == pb2[:, None, :]
-        else:
-            pb2 = table.p2_bytes[aentry].astype(jnp.int32)
-            if cfg.iupac:
-                m2 = table.match[sb2 * 256 + pb2[:, None, :]] != 0
-            else:
-                m2 = _byte_fold(sb2) == _byte_fold(pb2)[:, None, :]
-        act2 = i2[None, :, :] < al2[:, None, None]
-        mm2 = act2 & ~m2
-        prot2 = i2[None, :, :] < X  # '-': first X bases (engine.py:610-611)
-        p2_ok = ~jnp.any(mm2 & prot2, axis=2) & (jnp.sum(mm2, axis=2) <= NMM)
+            # Large margins: the full [ANCH, R, P2MAX] stack is too big to
+            # materialize (-M 10000 -> ~2e9 lanes), so the rank axis runs
+            # in CHUNKS of RC through ONE lax.map body — peak intermediate
+            # is [ANCH, RC, P2MAX] and compile time is chunk-count-
+            # independent. Offsets per chunk are a static host-side table.
+            RC = 512
+            n_ck = -(-R // RC)
+            offs = np.zeros((n_ck, RC), dtype=np.int32)
+            for r in range(n_ck * RC):
+                # pad ranks past R reuse offset 0 (in-bounds; masked by
+                # rmask/struct because their rank index >= R never emits)
+                offs[r // RC, r % RC] = M + (_rank_d(r) if r < R else 0)
+            offs_d = jnp.asarray(offs)
+            i2w = jax.lax.broadcasted_iota(jnp.int32, (RC, cfg.p2_max), 1)
+
+            def _chunk(ck):
+                o = offs_d[ck]  # int32[RC]
+                sb2c = wb[:, o[:, None] + i2w]  # [ANCH, RC, P2MAX]
+                return _p2_ok_of(sb2c)  # [ANCH, RC]
+
+            p2_ok = (
+                jax.lax.map(_chunk, jnp.arange(n_ck, dtype=jnp.int32))
+                .transpose(1, 0, 2)
+                .reshape(cfg.anch_cap, n_ck * RC)[:, :R]
+            )
 
         hitmask = avalid[:, None] & room[:, None] & rmask & struct & p2_ok
 

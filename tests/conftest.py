@@ -50,7 +50,7 @@ needs_oracle = pytest.mark.skipif(not have_oracle, reason="reference not mounted
 # gracefully). jax.clear_caches() releases executables (measured 2315->528
 # maps) and live jitted wrappers transparently recompile, so: watch the map
 # count after each test and clear when it gets high.
-_MAP_CLEAR_THRESHOLD = 30000
+_MAP_CLEAR_THRESHOLD = 20000
 
 
 def _n_maps() -> int:

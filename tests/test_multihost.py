@@ -133,19 +133,44 @@ def test_two_process_distributed(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    port = _free_port()
     outs = [str(tmp_path / f"out{i}.txt") for i in (0, 1)]
     env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(i), str(port), sts, fa, outs[i], repo],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-        )
-        for i in (0, 1)
-    ]
-    results = [p.communicate(timeout=300) for p in procs]
-    for i, p in enumerate(procs):
-        assert p.returncode == 0, (i, results[i][0][-2000:], results[i][1][-2000:])
+
+    # _free_port() has an inherent bind-then-release race (another process
+    # can grab the port before the coordinator binds it), and a loaded box
+    # can push two cold-start jax processes past a tight deadline — retry
+    # once on a FRESH port before calling the run a failure.
+    for attempt in (0, 1):
+        port = _free_port()
+        for o in outs:
+            if os.path.exists(o):
+                os.unlink(o)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), str(port), sts, fa,
+                 outs[i], repo],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
+            )
+            for i in (0, 1)
+        ]
+        try:
+            results = [p.communicate(timeout=420) for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+                p.communicate()
+            if attempt == 0:
+                continue
+            raise
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 0:
+            continue
+        for i, p in enumerate(procs):
+            assert p.returncode == 0, (
+                i, results[i][0][-2000:], results[i][1][-2000:]
+            )
     counts = [
         line for r in results for line in r[0].splitlines() if line.startswith("WORKER")
     ]
