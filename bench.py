@@ -123,6 +123,8 @@ def run_config(
             three_prime_match=three_prime,
             iupac_mode=iupac,
         )
+        if os.environ.get("MERPCR_TPU_TILE_LEN"):  # tuning experiments
+            eng._tile_len_override = int(os.environ["MERPCR_TPU_TILE_LEN"])
         assert eng.load_sts_file(sts_path)
         recs = eng.load_fasta_file(fa_path)
 

@@ -164,6 +164,17 @@ class ScanOut(NamedTuple):
     rec: jnp.ndarray  # int32[hit_cap] rmeta row of the hit (0 single-record)
 
 
+def _bit_at(word: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Extract bit ``b`` (0..31) of each ``word`` via a 5-level
+    CONSTANT-shift binary select. A per-lane variable-amount shift
+    (``word >> b``) lowers to a slow multi-op sequence on the VPU —
+    replacing them measurably sped up every table-bit test in this file."""
+    w = word
+    for k in (16, 8, 4, 2, 1):
+        w = jnp.where((b & k) != 0, w >> k, w)
+    return w & 1
+
+
 def _byte_fold(b: jnp.ndarray) -> jnp.ndarray:
     """Uppercase-fold a byte vector arithmetically (ASCII letters only),
     matching the reference's ``.upper()`` comparisons (engine.py:631)."""
@@ -316,7 +327,7 @@ def _scan_tile_impl(
         shift = 2 * W - cfg.bloom_bits  # >= 0
         bk = (h >> shift) if shift else h
         word = table.bloom[(bk >> 5).astype(jnp.int32)]
-        return pvalid & (((word >> (bk & 31)) & 1) == 1)
+        return pvalid & (_bit_at(word, bk & 31) == 1)
 
     NW = L // 32
     if cfg.packed:
@@ -413,7 +424,7 @@ def _scan_tile_impl(
                     32 - cfg.qbloom_bits
                 )
             qword = qb_tab[(bk >> 5).astype(jnp.int32)]
-            hit = ((qword >> (bk & 31)) & 1) == 1
+            hit = _bit_at(qword, bk & 31) == 1
             # Groups whose key span contains an ambiguous base skip the
             # table (their value bits are garbage) and go straight to the
             # exact per-phase CSR — the phase validity masks there are
@@ -431,10 +442,14 @@ def _scan_tile_impl(
         # through the word-level compaction below.
         QPW = QP // 32
         NWU = Q // 32
-        wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+        # multiply by 2^lane instead of shifting by a per-lane amount
+        # (variable-amount shifts lower to slow multi-op VPU sequences)
+        wpow = jnp.asarray(
+            np.uint32(1) << np.arange(32, dtype=np.uint32)
+        ).reshape(1, 32)
         pw = [
             jnp.sum(
-                f.reshape(QPW, 32).astype(jnp.uint32) << wbits,
+                f.reshape(QPW, 32).astype(jnp.uint32) * wpow,
                 axis=1,
                 dtype=jnp.uint32,
             )
@@ -478,8 +493,10 @@ def _scan_tile_impl(
         c_total = jnp.sum(flag.astype(jnp.int32))
         NWU = NW
         fb = flag.reshape(NWU, 32).astype(jnp.uint32)
-        wbits = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
-        words = jnp.sum(fb << wbits, axis=1, dtype=jnp.uint32)
+        wpow = jnp.asarray(
+            np.uint32(1) << np.arange(32, dtype=np.uint32)
+        ).reshape(1, 32)
+        words = jnp.sum(fb * wpow, axis=1, dtype=jnp.uint32)
 
     # ---- 4. compact candidate units + exact CSR lookup --------------------
     # Hierarchical compaction: flags are packed into 32-bit words (cheap VPU
@@ -489,6 +506,8 @@ def _scan_tile_impl(
     # no new overflow mode. Order (word asc, bit asc) == unit asc,
     # preserving the emission-order contract. A "unit" is a position-pair
     # in packed mode, a single position otherwise.
+    if stop == "words":
+        return _stopped(words)
     (widx,) = jnp.nonzero(words != 0, size=cfg.cpos_cap, fill_value=NWU - 1)
     wordsel = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (cfg.cpos_cap,), 0)
@@ -513,6 +532,8 @@ def _scan_tile_impl(
         r = r - jnp.where(go_hi, clow, 0)
         wq = jnp.where(go_hi, wq >> half, wq & lowmask)
     cpos = widx[wsel] * 32 + b  # ascending unit indices
+    if stop == "nonzero":
+        return _stopped(widx, wordsel)
     if stop == "compact":
         return _stopped(cpos)
     clane = jax.lax.broadcasted_iota(jnp.int32, (cfg.cpos_cap,), 0)
@@ -564,6 +585,10 @@ def _scan_tile_impl(
         # density); otherwise the per-phase validity bits (the exact CSR
         # probe then rejects non-keys).
         gs = gstate[cpos // P]  # ONE row gather: [c0 c1 c2 a0 a1 a2]
+        # NOTE: variable-amount shifts are fine here — measured: replacing
+        # them with constant-shift where-selects made this stage ~0.4 ms
+        # SLOWER at dense caps (extra ops cost more than the var shifts;
+        # these small-lane stages are op-count-bound, not shift-bound).
         shv = jnp.uint32(2 * S_) * (cpos % P).astype(jnp.uint32)
         W0c = gs[:, 0] | (gs[:, 1] << 16)
         Wac = gs[:, 3] | (gs[:, 4] << 16)
@@ -598,6 +623,8 @@ def _scan_tile_impl(
         else:
             nb = nbv
         nb = jnp.where(cvalid, nb, 0)
+        if stop == "nb":
+            return _stopped(nb)
 
         # ---- 5a. (group, phase) -> position expansion ----------------------
         pcnt = jax.lax.population_count(nb).astype(jnp.int32)
@@ -605,6 +632,8 @@ def _scan_tile_impl(
         srcg, gexcl = _rank_invert(pcnt, cfg.pos_cap)
         tq = jax.lax.broadcasted_iota(jnp.int32, (cfg.pos_cap,), 0)
         pos_valid = tq < pos_total
+        if stop == "posrank":
+            return _stopped(srcg, gexcl)
         # everything the position stage needs from its group in ONE 4-col
         # row gather (gather cost is per ROW on this hardware): the B
         # registers and their ambiguity bits are <= 16 bits each (spill
@@ -642,6 +671,8 @@ def _scan_tile_impl(
                 v = v | ((Bcg << (32 - 2 * d)) & m2w)
             phh = jnp.where(ph == d, v, phh)
         pposx = gposg * S_ + ph  # local scan position of each candidate
+        if stop == "posg2":
+            return _stopped(phh, pposx)
         if cfg.strict and cfg.t16_bits:
             # ONE hashed gather per expanded position: does the FULL
             # 16-base window starting here match some entry's primer1

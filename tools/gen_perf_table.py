@@ -1,0 +1,50 @@
+"""Regenerate the README performance table from BENCH_MATRIX.json.
+
+Every README number must be a driver-reproducible artifact line
+(VERDICT r2 #2): run `python bench.py --matrix` on the TPU, then
+`python tools/gen_perf_table.py` prints the markdown rows for README.md
+straight from the JSON it wrote.
+"""
+
+import json
+import os
+import sys
+
+ROWS = {
+    "sparse_100": ("100 STS", "~3.2 Mbp/s"),
+    "sparse_1k": ("1,000 STS", "3.2 Mbp/s"),
+    "sparse_10k": ("10,000 STS", "~3 Mbp/s"),
+    "dense_50k": ("50,000 STS", "2.3 Mbp/s"),
+    "planted_200": ("1,000 STS, 200 real hits", "~3 Mbp/s"),
+    "iupac": ("1,000 STS, IUPAC mode (-I 1)", "~3 Mbp/s"),
+    "mismatch_1": ("1,000 STS, 1 mismatch (-N 1)", "~3 Mbp/s"),
+    "scaffolds_3000": ("3,000 x 10 kb scaffolds (30 Mbp)", "~3 Mbp/s"),
+    "w14_multhash": ("1,000 STS, W=14 (hashed front end)", "~3 Mbp/s"),
+    "w16_multhash": ("1,000 STS, W=16 (hashed front end)", "~3 Mbp/s"),
+    "margin_1000": ("1,000 STS, -M 1000, 100 hits", "~3 Mbp/s"),
+    "margin_10000": ("1,000 STS, -M 10000, 100 hits", "~3 Mbp/s"),
+}
+
+REF_RATE = 3.2  # Mbp/s, BASELINE.md
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_MATRIX.json"
+    if not os.path.exists(path):
+        sys.exit(f"{path} not found — run `python bench.py --matrix` first")
+    with open(path) as fh:
+        results = json.load(fh)
+    print("| workload | this engine | reference (CPU, T=1) | speedup |")
+    print("|---|---|---|---|")
+    for res in results:
+        row = res["detail"].get("row")
+        label, ref = ROWS.get(row, (row, "~3.2 Mbp/s"))
+        v = res["value"]
+        speed = v / REF_RATE
+        print(f"| {label} | {v:.0f} Mbp/s | {ref} | ~{speed:.0f}x |")
+    be = {r["detail"]["backend"] for r in results}
+    print(f"\nbackend(s): {sorted(be)}; artifact: {path}")
+
+
+if __name__ == "__main__":
+    main()

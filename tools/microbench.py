@@ -198,11 +198,67 @@ def mode_scan_prims() -> None:
     timeit("searchsorted 2^17 q / 2^17 tab", ssort, 1 << 17, cum, q)
 
 
+def mode_blocked_scan() -> None:
+    """1-D cummax/cumsum vs blocked 2-D relayout scans at the compaction-
+    stage sizes (rank inversion over cpos/pos caps, ~8k-32k lanes) — and
+    variable-amount shifts vs constant-shift binary selects (the
+    scan-pipeline bit tests)."""
+    print("# blocked-scan")
+    IMIN = jnp.int32(-(1 << 31))
+
+    def blocked_cummax(x, lanes=512):
+        n = x.shape[0]
+        r = n // lanes
+        x2 = x.reshape(r, lanes)
+        k = 1
+        while k < lanes:
+            sh = jnp.pad(x2, ((0, 0), (k, 0)), constant_values=-(1 << 31))[
+                :, :lanes
+            ]
+            x2 = jnp.maximum(x2, sh)
+            k *= 2
+        row_pre = jax.lax.cummax(x2[:, -1], axis=0)
+        excl = jnp.concatenate([IMIN[None], row_pre[:-1]])
+        return jnp.maximum(x2, excl[:, None]).reshape(n)
+
+    for logN in (13, 14, 15):
+        N = 1 << logN
+        x = jnp.asarray(rng.integers(0, 1 << 20, N, dtype=np.int32))
+
+        def cmax(acc, x):
+            return jnp.sum(jax.lax.cummax(x ^ (acc & 1), axis=0))
+
+        def bmax(acc, x):
+            return jnp.sum(blocked_cummax(x ^ (acc & 1)))
+
+        timeit(f"lax.cummax 2^{logN}", cmax, N, x)
+        timeit(f"blocked cummax 2^{logN} (512 lanes)", bmax, N, x)
+
+    # variable vs constant-shift bit extraction at front-end scale
+    N = 1 << 19
+    w = jnp.asarray(rng.integers(0, 1 << 31, N, dtype=np.int64).astype(np.int32))
+    b = jnp.asarray(rng.integers(0, 32, N, dtype=np.int32))
+
+    def var_shift(acc, w, b):
+        return jnp.sum((w >> (b ^ (acc & 1))) & 1)
+
+    def const_sel(acc, w, b):
+        bb = b ^ (acc & 1)
+        x = w
+        for k in (16, 8, 4, 2, 1):
+            x = jnp.where((bb & k) != 0, x >> k, x)
+        return jnp.sum(x & 1)
+
+    timeit("variable-amount shift 2^19", var_shift, N, w, b)
+    timeit("constant-shift select 2^19", const_sel, N, w, b)
+
+
 MODES = {
     "gather-size": mode_gather_size,
     "bloom-shape": mode_bloom_shape,
     "row-gather": mode_row_gather,
     "scan-prims": mode_scan_prims,
+    "blocked-scan": mode_blocked_scan,
 }
 
 

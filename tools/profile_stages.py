@@ -97,8 +97,15 @@ def full(tb):
     ).astype(jnp.int32)
 
 
+ALL_STAGES = ["hash", "bloom", "words", "nonzero", "compact", "nb",
+              "posrank", "posg2", "pos", "expand", "p1"]
+stages = (
+    os.environ["PROFILE_STAGES"].split(",")
+    if os.environ.get("PROFILE_STAGES")
+    else ALL_STAGES
+)
 prev = 0.0
-for st in ["hash", "bloom", "compact", "pos", "expand", "p1"]:
+for st in stages:
     dt = timeit(st, staged(st))
     print(f"{'':20s} {'':>9s}  delta {max(dt-prev,0)*1e3:7.3f} ms")
     prev = dt
