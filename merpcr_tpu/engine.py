@@ -254,17 +254,20 @@ class MerPCR:
     # last group short-circuit via lax.cond (~free).
     TILE_GROUP = 8
 
-    # lax.map's per-iteration machinery costs ~3.4 ms/tile when the scan
-    # body's internal buffers are large (dense STS sets: pos_cap ~64K),
-    # but is ~free at sparse caps (measured, tools/tile_group_sweep.py /
-    # unroll_sweep.py: dense 50k-STS 498->428 ms at G=1, sparse within
-    # noise). Above this pos_cap, dispatch tiles individually — async
-    # dispatch still overlaps transfers, and each tile's ~18 ms compute
+    # lax.map's per-iteration machinery costs ~3.2 ms/tile when the scan
+    # body's internal buffers are large, but is ~free at sparse caps
+    # (measured, tools/tile_group_sweep.py / unroll_sweep.py; re-measured
+    # after the projection-strict front end shrank dense caps 5x: dense
+    # 50k-STS at cpos_cap 4928 is 293 Mbp/s dispatched individually vs
+    # 200 grouped, so the threshold tracks BOTH compaction caps and sits
+    # just above the sparse floor). Above it, dispatch tiles individually —
+    # async dispatch still overlaps transfers, and each tile's compute
     # hides the per-dispatch launch latency.
-    GROUP_POS_CAP_LIMIT = 16384
+    GROUP_POS_CAP_LIMIT = 2048
 
     def _tile_group(self, cfg) -> int:
-        return 1 if cfg.pos_cap > self.GROUP_POS_CAP_LIMIT else self.TILE_GROUP
+        big = max(cfg.pos_cap, cfg.cpos_cap) > self.GROUP_POS_CAP_LIMIT
+        return 1 if big else self.TILE_GROUP
 
     def _scan_record(
         self, seq: np.ndarray, packed_rec: Optional[np.ndarray] = None

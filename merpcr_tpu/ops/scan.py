@@ -381,6 +381,16 @@ def _scan_tile_impl(
         # registers from ONE row gather of [c0 c1 c2 a0 a1 a2]
         gstate = jnp.stack([c0, c1, c2, a0, a1, a2], axis=-1)
 
+        qb_tab = table.qbloom_s if cfg.strict else table.qbloom
+        # Exact group tables may be host-truncated (table._truncate_group_
+        # table); the strict projection table keys the TOP bases of the
+        # 16-base window (table.PROJ_START). Deriving the key width from
+        # the table's actual (trace-time) shape makes a config/table
+        # mismatch impossible — an oversized mask would gather out of
+        # bounds (clamped -> wrong flags -> lost candidates).
+        gq = (int(qb_tab.shape[0]) * 32).bit_length() - 1
+        m2q = jnp.uint32(((1 << min(gq, 32)) - 1) & 0xFFFFFFFF)
+
         rlane = jax.lax.broadcasted_iota(jnp.int32, (QP,), 0)
         AV, pvs, vcs = [], [], []
         for p in range(P):  # parity p: groups starting at unit base S_*p
@@ -399,33 +409,34 @@ def _scan_tile_impl(
                 pv = pv | (
                     (va == 0) & (rlane * 8 + S_ * p + d < n_scan)
                 )
-            AV.append((A & m2kb))
+            AV.append(A)  # raw 16-base window register
             pvs.append(pv)
-            vcs.append((Aa & m2kb) == 0)
+            # table-bypass validity: the bases the table actually keys on
+            # must be clean (strict: the projected TOP 32-gq bits; loose:
+            # the low KB span bases)
+            if cfg.strict:
+                vcs.append((Aa >> (32 - gq)) == 0)
+            else:
+                vcs.append((Aa & m2kb) == 0)
         if stop == "hash":
             return _stopped(*AV, *pvs)
 
-        qb_tab = table.qbloom_s if cfg.strict else table.qbloom
-        # Exact group tables may be host-truncated below 4^span bits
-        # (table._truncate_group_table): the key is then the span value's
-        # LOW log2(bits) bits. Deriving the width from the table's actual
-        # (trace-time) shape makes a config/table mismatch impossible —
-        # an oversized mask would gather out of bounds (clamped -> wrong
-        # flags -> lost candidates).
-        gq = (int(qb_tab.shape[0]) * 32).bit_length() - 1
-        m2q = jnp.uint32(((1 << min(gq, 32)) - 1) & 0xFFFFFFFF)
         flags_p = []
         for p in range(P):
-            if cfg.exact_group:
+            if cfg.strict:
+                # projection-strict: key = window bases PROJ_START..15
+                # (the table's own width says how many survived folding)
+                bk = AV[p] >> (32 - gq)
+            elif cfg.exact_group:
                 # truncated tables drop top span bases: key = low gq bits
-                bk = AV[p] & m2q
+                bk = (AV[p] & m2kb) & m2q
             else:
-                bk = (AV[p] * jnp.uint32(0x9E3779B1)) >> (
+                bk = ((AV[p] & m2kb) * jnp.uint32(0x9E3779B1)) >> (
                     32 - cfg.qbloom_bits
                 )
             qword = qb_tab[(bk >> 5).astype(jnp.int32)]
             hit = _bit_at(qword, bk & 31) == 1
-            # Groups whose key span contains an ambiguous base skip the
+            # Groups whose keyed bases contain an ambiguous base skip the
             # table (their value bits are garbage) and go straight to the
             # exact per-phase CSR — the phase validity masks there are
             # exact, so this only costs capacity near ambiguity runs.

@@ -96,6 +96,10 @@ def _lsb_keys(hashes: np.ndarray, wordsize: int) -> np.ndarray:
     return k.astype(np.int64)
 
 
+PROJ_START = 3  # strict projection window = bases PROJ_START..15 of the
+#                 16-base group window (26-bit key -> exact 8 MB table)
+
+
 def _build_strict(
     ehash: np.ndarray,  # uint64[E] LSB-first W-mer keys, entry order
     hoff: np.ndarray,  # int32[E] hash offsets
@@ -103,63 +107,83 @@ def _build_strict(
     p1_bytes: np.ndarray,  # uint8[E, P1MAX]
     wordsize: int,
     stride: int,
-    span: int,
     iupac_mode: bool,
 ):
-    """Extension-strict front-end tables, valid only when mismatches == 0.
+    """Projection-strict front-end tables, valid only when mismatches == 0.
 
-    The loose group tables answer "do bases d..d+W-1 of this span form a
-    bucket key for some phase d" — pure W-mer occupancy. But a candidate
-    only survives the full primer1 verify if the primer's bases BEYOND the
-    W-mer also match the genome (reference engine.py:599-642: at N=0 every
-    active base must match). For clean genome spans those extension bases
-    are right there in the span value, so the strict tables bake the
-    constraint in at build time:
+    A loose group table answers "do bases d..d+W-1 of this group's window
+    form a bucket key for some phase d" — pure W-mer occupancy. But at
+    N==0 a candidate only survives the full primer1 verify if the primer
+    bases BEYOND the W-mer also match the genome (reference
+    engine.py:599-642), and for clean spans those extension bases sit in
+    the same 16-base register window the scan already holds.
 
-    * ``qbloom_s`` — same shape/indexing as the loose exact group table,
-      but a value's bit is set only if some entry whose key is at phase d
-      ALSO matches the span's remaining span-W-d bases against its primer
-      continuation, for some d. Free dimensions (genome bases before the
-      key, bases past the primer end, multi-code IUPAC primer letters) are
-      enumerated, so the table over-approximates but never drops a
-      verifiable candidate. Phase bits within a flagged group still come
-      from the LOOSE phase table ``ptab`` (no strict variant exists — it
-      would cost 4x the build/memory for almost no candidate reduction
-      once groups are strict-filtered and t16 prunes positions).
+    * ``qbloom_s`` — exact direct-mapped bit table keyed by the PROJECTION
+      of the group's 16-base window onto bases PROJ_START..15 (26 bits,
+      8 MB — the fast gather tier). A projected value's bit is set iff for
+      SOME phase d and SOME entry, the projected key bases equal the
+      entry's W-mer at those offsets AND the projected extension bases
+      match the primer continuation. Projecting on the window's TOP bases
+      is the load-bearing choice: every phase d <= PROJ_START keeps
+      >= 13 - PROJ_START constrained bases, so the LAST phase of a group —
+      whose in-span extension is empty in a span-(W+S-1) keying, making it
+      contribute pure W-mer density that dominates dense sets — is
+      extension-constrained like every other phase. Measured on 50k random
+      STS: flagged-group density 3.1% (span keying, 33.5 MB) -> ~0.6%
+      (projection, 8 MB). Free dimensions (bases past the primer end,
+      multi-code IUPAC primer letters) are enumerated, so the table
+      over-approximates but never drops a verifiable candidate. Works for
+      EVERY wordsize 3..16 (key bases outside the projection simply don't
+      constrain), which extends strict mode to W >= 14 where no exact span
+      table exists. Phase bits within a flagged group still come from the
+      LOOSE phase table ``ptab`` when one exists (W <= 13); the mult-hash
+      fallback (W >= 14) expands every valid phase of a flagged group.
     * ``t16`` — a multiplicative-hashed bitmask keyed by the FULL 16-base
       window starting at a candidate position (the scan has those bases in
       registers already). One gather per expanded position filters the
-      candidate stream down to ~real-match density before pair expansion.
+      candidate stream down to ~real-match density before pair expansion;
+      it also restores the PROJ_START prefix bases the group table
+      projected away.
 
     Soundness (no lost hits at N==0, clean spans): a position kept out can
     only have candidates with a primer-vs-clean-genome mismatch, which the
-    verify would reject anyway. Dirty spans bypass these tables entirely in
-    the scan (validity masks), preserving the reference's ambiguity
-    semantics; primer bytes that cannot match ANY clean base (e.g. 'N' in
-    non-IUPAC mode) drop the insert — such entries can only match through
-    dirty genome, which takes the bypass path.
+    verify would reject anyway. Windows whose projected bases contain an
+    ambiguous base bypass these tables entirely in the scan (validity
+    masks), preserving the reference's ambiguity semantics — in IUPAC mode
+    a dirty genome base can legitimately match through the exact verify;
+    primer bytes that cannot match ANY clean base (e.g. 'N' in non-IUPAC
+    mode) drop the insert for that phase — such entries can only match
+    through dirty genome, which takes the bypass path.
 
-    Returns (qbloom_s, t16, t16_bits, t16_real); the caller truncates
-    qbloom_s (see _truncate_group_table) and measures densities there.
+    Returns (qbloom_s, t16, t16_bits, t16_real); qbloom_s is None when the
+    insert enumeration would explode (pathologically short primers), which
+    disables strict mode entirely.
     """
     E = len(ehash)
-    nspan = 1 << (2 * span)
-    qbloom_s = np.zeros(nspan // 32, dtype=np.uint32)
+    bits = 2 * (16 - PROJ_START)
+    qbloom_s = np.zeros((1 << bits) // 32, dtype=np.uint32)
 
-    nb = 16 - wordsize  # extension bases the 16-base filter can see
+    nb = 16 - wordsize  # extension bases visible to phase 0 (and t16)
     nm = nib_match_matrix(iupac_mode)[:4, :].astype(bool)  # clean codes only
-    j = np.arange(nb)
-    idx = hoff[:, None] + wordsize + j[None, :]  # primer byte index per ext pos
-    act = idx < p1len[:, None]
-    byc = PRIMER_CODE_LUT[
-        p1_bytes[np.arange(E)[:, None], np.minimum(idx, p1_bytes.shape[1] - 1)]
-    ]
-    mm = nm[:, byc]  # (4, E, nb): clean genome code c matches primer byte
-    ncode = mm.sum(axis=0).astype(np.int32)
-    code1 = mm.argmax(axis=0).astype(np.uint64)
-    # inactive positions (past primer end) are FREE; FIXED iff exactly one
-    # clean code matches; IMPOSSIBLE (ncode==0) => unmatchable on clean genome
-    ncode = np.where(act, ncode, 4)
+    if nb > 0:
+        j = np.arange(nb)
+        idx = hoff[:, None] + wordsize + j[None, :]  # primer byte per ext pos
+        act = idx < p1len[:, None]
+        byc = PRIMER_CODE_LUT[
+            p1_bytes[
+                np.arange(E)[:, None], np.minimum(idx, p1_bytes.shape[1] - 1)
+            ]
+        ]
+        mm = nm[:, byc]  # (4, E, nb): clean genome code c matches primer byte
+        ncode = mm.sum(axis=0).astype(np.int32)
+        code1 = mm.argmax(axis=0).astype(np.uint64)
+        # inactive positions (past primer end) are FREE; FIXED iff exactly
+        # one clean code matches; IMPOSSIBLE (ncode==0) => unmatchable on
+        # clean genome
+        ncode = np.where(act, ncode, 4)
+    else:
+        ncode = np.zeros((E, 0), dtype=np.int32)
+        code1 = np.zeros((E, 0), dtype=np.uint64)
     # prefix extension values: pv[:, k] = sum_{j<k} code1[:, j] << 2j
     pv = np.zeros((E, nb + 1), dtype=np.uint64)
     for k in range(nb):
@@ -184,93 +208,57 @@ def _build_strict(
             np.uint32(1) << (v & 31).astype(np.uint32),
         )
 
-    # Per-phase insert counts decide the construction: value-level scatter
-    # for sparse sets, the product-structure build (scatter only E entries
-    # into per-extension-class key bitmaps, then packbits + bit-repeat —
-    # same trick as the loose dense path) once scattering would dominate.
-    drops, frs, phase_ins = [], [], []
+    # insert-count guard: free-base enumeration is 4^(free) per entry per
+    # phase; bail (strict disabled) on pathological sets instead of a
+    # multi-minute host build
+    n_ins = 0
+    plans = []
     for d in range(stride):
-        drop, fr = _fixed_run(span - wordsize - d)
-        drops.append(drop)
-        frs.append(fr)
-        ext_d = span - wordsize - d
-        phase_ins.append(
-            (1 << (2 * d))
-            * int((1 << (2 * (ext_d - fr[~drop]))).astype(np.int64).sum())
+        nb_d = 16 - wordsize - d  # extension bases visible to phase d
+        if nb_d <= 0:
+            plans.append((None, None))
+            n_ins += E
+            continue
+        drop, fr = _fixed_run(nb_d)
+        plans.append((drop, fr))
+        n_ins += int(
+            (1 << (2 * (nb_d - fr[~drop]))).astype(np.int64).sum()
         )
-    if sum(phase_ins) <= (1 << 21):
-        for d in range(stride):
-            ext_d = span - wordsize - d
-            drop, fr = drops[d], frs[d]
-            pre = np.arange(1 << (2 * d), dtype=np.uint64)
-            for f in range(ext_d + 1):
-                sel = np.flatnonzero(~drop & (fr == f))
-                if not len(sel):
-                    continue
-                base = (
-                    ehash[sel] | (pv[sel, f] << np.uint64(2 * wordsize))
-                ) << np.uint64(2 * d)
-                nfree = 1 << (2 * (ext_d - f))
-                free = np.arange(nfree, dtype=np.uint64) << np.uint64(
-                    2 * (d + wordsize + f)
-                )
-                # chunk entries so the expanded value array stays modest
-                step = max(1, (1 << 22) // max(len(pre) * nfree, 1))
-                for a in range(0, len(sel), step):
-                    v = (
-                        pre[:, None, None]
-                        | base[None, a : a + step, None]
-                        | free[None, None, :]
-                    ).reshape(-1)
-                    _scatter(v)
-    else:
-        # span value v = x*4^(W+d) + key*4^d + pre: the d free "pre" bases
-        # are v's low bits, so phase d's bit plane is
-        # concat_x(repeat_{4^d}(key bitmap of extension class x)) — built
-        # with byte LUTs and tiling, never touching per-value scatters.
-        bidx = np.arange(256, dtype=np.uint32)
-        lutr4 = np.zeros(256, dtype=np.uint32)  # bit j -> 0xF at nibble j
-        for j in range(8):
-            lutr4 |= (((bidx >> j) & 1) * np.uint32(0xF)) << (4 * j)
-        q8 = qbloom_s.view(np.uint8)
-        ehash_i = ehash.astype(np.int64)
-        # Preallocated scratch, reused across phases (fresh 100+ MB numpy
-        # temporaries per op would page-fault); the take ping-pong pair
-        # exists because np.take must not alias its input with out=.
-        mbbuf = np.zeros(
-            (1 << (2 * (span - wordsize)), 1 << (2 * wordsize)), dtype=bool
-        )
-        rep_ab = (
-            np.empty(nspan // 32, dtype=np.uint32),
-            np.empty(nspan // 32, dtype=np.uint32),
-        )
-        for d in range(stride):
-            ext_d = span - wordsize - d
-            drop, fr = drops[d], frs[d]
-            nc = 1 << (2 * ext_d)
-            mb = mbbuf[:nc]
-            mb[:] = False
-            for f in range(ext_d + 1):
-                sel = np.flatnonzero(~drop & (fr == f))
-                if not len(sel):
-                    continue
-                nfree = 1 << (2 * (ext_d - f))
-                x = pv[sel, f][None, :] | (
-                    np.arange(nfree, dtype=np.uint64)[:, None]
-                    << np.uint64(2 * f)
-                )
-                mb[
-                    x.astype(np.int64).reshape(-1),
-                    np.broadcast_to(
-                        ehash_i[sel], (nfree, len(sel))
-                    ).reshape(-1),
-                ] = True
-            plane = np.packbits(mb, axis=1, bitorder="little").reshape(-1)
-            for k in range(d):  # repeat bits x4 per application
-                r = rep_ab[k & 1][: len(plane)]
-                np.take(lutr4, plane, out=r)
-                plane = r.view(np.uint8)
-            np.bitwise_or(q8, plane, out=q8)
+    if n_ins > (1 << 27):
+        return None, np.zeros(1, dtype=np.uint32), 0, 0.0
+
+    for d in range(stride):
+        nb_d = 16 - wordsize - d
+        # key bases j of the W-mer sit at window base d+j; the projection
+        # keeps j in [j0, j1] at projection bits 2*(d + j - PROJ_START)
+        j0 = max(0, PROJ_START - d)
+        j1 = min(wordsize - 1, 15 - d)
+        if j1 >= j0:
+            km = (np.uint64(1) << np.uint64(2 * (j1 - j0 + 1))) - np.uint64(1)
+            kv = ((ehash >> np.uint64(2 * j0)) & km) << np.uint64(
+                2 * (d + j0 - PROJ_START)
+            )
+        else:  # tiny W: phase's whole key is projected away
+            kv = np.zeros(E, dtype=np.uint64)
+        if nb_d <= 0:  # no extension visible (W >= 16 - d)
+            _scatter(kv)
+            continue
+        drop, fr = plans[d]
+        # ext base k (primer byte hoff+W+k) sits at window base d+W+k
+        extshift = 2 * (d + wordsize - PROJ_START)
+        for f in range(nb_d + 1):
+            sel = np.flatnonzero(~drop & (fr == f))
+            if not len(sel):
+                continue
+            base = kv[sel] | (pv[sel, f] << np.uint64(extshift))
+            nfree = 1 << (2 * (nb_d - f))
+            free = np.arange(nfree, dtype=np.uint64) << np.uint64(
+                extshift + 2 * f
+            )
+            step = max(1, (1 << 22) // nfree)
+            for a in range(0, len(sel), step):
+                v = (base[None, a : a + step] | free[:, None]).reshape(-1)
+                _scatter(v)
 
     # ---- 16-base position filter ------------------------------------------
     drop16, fr16 = _fixed_run(nb)
@@ -617,7 +605,10 @@ def compile_table(
     emeta[:, 3] = col(res.pcr_sizes, pad=1)
 
     # ---- strict (N==0) front-end variants ---------------------------------
-    strict = bool(exact_group and E > 0)
+    # The projection table works for EVERY wordsize (key bases outside the
+    # projection window just don't constrain), so strict mode no longer
+    # requires an exact span table — W >= 14 gets strict too.
+    strict = bool(E > 0)
     if strict:
         qbloom_s, t16, t16_bits, t16_real = _build_strict(
             sorted_hashes.astype(np.uint64),
@@ -626,16 +617,22 @@ def compile_table(
             p1_bytes,
             wordsize,
             stride,
-            span,
             iupac_mode,
         )
+        strict = qbloom_s is not None  # insert-explosion bail
+    if strict:
         qbloom_s, sq_bits, sq_density = _truncate_group_table(
-            qbloom_s, 2 * span
+            qbloom_s, 2 * (16 - PROJ_START)
         )
-        # Strict expansion gathers the LOOSE phase table, so the per-
-        # position expansion probability is bounded by its set fraction
-        # (a safe over-estimate: strict group filtering only shrinks it).
-        sp_density = _popcount(ptab) / float((1 << (2 * span)) * stride)
+        # Strict expansion gathers the LOOSE phase table (exact mode), so
+        # the per-position expansion probability is bounded by its set
+        # fraction; the W >= 14 fallback expands every valid phase of a
+        # flagged group (sp_density 1.0 keeps the cap model conservative).
+        sp_density = (
+            _popcount(ptab) / float((1 << (2 * span)) * stride)
+            if exact_group
+            else 1.0
+        )
         t16_fp = (
             _popcount(t16) / float(1 << t16_bits) if t16_bits else 1.0
         )

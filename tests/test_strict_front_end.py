@@ -142,9 +142,10 @@ def test_iupac_letters_in_extension_positions(tmp_path):
 @needs_oracle
 @pytest.mark.parametrize("wordsize", [12, 13, 14])
 def test_wordsize_strict_boundary(tmp_path, wordsize):
-    """W=12/13 are the largest strict-table wordsizes (stride 2, exact
-    group tables); W=14 falls back to the mult-hash front end with strict
-    off. All must stay byte-identical to the oracle."""
+    """W=12/13 are the largest exact-group-table wordsizes (stride 2);
+    W=14 uses the mult-hash loose front end — but the projection-strict
+    table arms strict mode at EVERY wordsize (table.PROJ_START keying).
+    All must stay byte-identical to the oracle."""
     rng = random.Random(wordsize)
     g = "".join(rng.choices(BASES, k=8000))
     p1, p2 = g[1000:1022], g[1160:1180]  # real (+) amplicon, size 180
@@ -153,7 +154,7 @@ def test_wordsize_strict_boundary(tmp_path, wordsize):
     params = dict(wordsize=wordsize)
     eng = merpcr_tpu.MerPCR(**params)
     assert eng.load_sts_file(sts)
-    assert eng._meta.strict == (wordsize <= 13)
+    assert eng._meta.strict  # projection table arms strict at every W
     assert run_search(eng, eng.load_fasta_file(fa)) == _ref_out(
         sts, fa, **params
     )
