@@ -60,7 +60,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .encoding import AMBIG, iupac_exp_masks
-from .table import DeviceTable
+from .table import PROJ_UNIT_START, DeviceTable
 
 _EXP_NIB = iupac_exp_masks()[0]  # uint32[16] genome-letter expansion masks
 
@@ -133,9 +133,18 @@ class ScanConfig:
     def n_ranks(self) -> int:
         return 2 * self.margin + 1
 
+    @property
+    def front_stride(self) -> int:
+        """Scan positions covered per front-end table lookup: the strict
+        unit-projection flags whole u32 units (8 positions); the loose
+        path flags stride-groups."""
+        if not self.packed:
+            return 1
+        return 8 if self.strict else self.stride
+
     def escalate(self, factor: int = 4) -> "ScanConfig":
         """Larger capacities for tiles that overflow the fixed buffers."""
-        units = self.tile_len // self.stride if self.packed else self.tile_len
+        units = self.tile_len // self.front_stride
         return ScanConfig(
             **{
                 **self.__dict__,
@@ -383,112 +392,138 @@ def _scan_tile_impl(
 
         qb_tab = table.qbloom_s if cfg.strict else table.qbloom
         # Exact group tables may be host-truncated (table._truncate_group_
-        # table); the strict projection table keys the TOP bases of the
-        # 16-base window (table.PROJ_START). Deriving the key width from
+        # table); the strict unit-projection table keys window bases
+        # C..C+12 (table.PROJ_UNIT_START). Deriving the key width from
         # the table's actual (trace-time) shape makes a config/table
         # mismatch impossible — an oversized mask would gather out of
         # bounds (clamped -> wrong flags -> lost candidates).
         gq = (int(qb_tab.shape[0]) * 32).bit_length() - 1
         m2q = jnp.uint32(((1 << min(gq, 32)) - 1) & 0xFFFFFFFF)
-
-        rlane = jax.lax.broadcasted_iota(jnp.int32, (QP,), 0)
-        AV, pvs, vcs = [], [], []
-        for p in range(P):  # parity p: groups starting at unit base S_*p
-            sh = 2 * S_ * p
-            if sh == 0:
-                A, Aa = W0, Wa
-            else:
-                A = (W0 >> sh) | (c2 << (32 - sh))
-                Aa = (Wa >> sh) | (a2 << (32 - sh))
-            Ba = a2 >> sh  # shifted-window bits 32.. (W-mer spill, W=16)
-            pv = jnp.zeros((QP,), jnp.bool_)
-            for d in range(S_):
-                va = (Aa >> (2 * d)) & m2w
-                if 2 * (d + W) > 32:  # only possible for d >= 1
-                    va = va | ((Ba << (32 - 2 * d)) & m2w)
-                pv = pv | (
-                    (va == 0) & (rlane * 8 + S_ * p + d < n_scan)
-                )
-            AV.append(A)  # raw 16-base window register
-            pvs.append(pv)
-            # table-bypass validity: the bases the table actually keys on
-            # must be clean (strict: the projected TOP 32-gq bits; loose:
-            # the low KB span bases)
-            if cfg.strict:
-                vcs.append((Aa >> (32 - gq)) == 0)
-            else:
-                vcs.append((Aa & m2kb) == 0)
-        if stop == "hash":
-            return _stopped(*AV, *pvs)
-
-        flags_p = []
-        for p in range(P):
-            if cfg.strict:
-                # projection-strict: key = window bases PROJ_START..15
-                # (the table's own width says how many survived folding)
-                bk = AV[p] >> (32 - gq)
-            elif cfg.exact_group:
-                # truncated tables drop top span bases: key = low gq bits
-                bk = (AV[p] & m2kb) & m2q
-            else:
-                bk = ((AV[p] & m2kb) * jnp.uint32(0x9E3779B1)) >> (
-                    32 - cfg.qbloom_bits
-                )
-            qword = qb_tab[(bk >> 5).astype(jnp.int32)]
-            hit = _bit_at(qword, bk & 31) == 1
-            # Groups whose keyed bases contain an ambiguous base skip the
-            # table (their value bits are garbage) and go straight to the
-            # exact per-phase CSR — the phase validity masks there are
-            # exact, so this only costs capacity near ambiguity runs.
-            flags_p.append(pvs[p] & (hit | ~vcs[p]))
-        if stop == "bloom":
-            return _stopped(*flags_p)
-        c_total = jnp.int32(0)
-        for f in flags_p:
-            c_total = c_total + jnp.sum(f.astype(jnp.int32))
-
-        # Pack each parity's flags into 32-bit words over r, then bit-
-        # interleave the P parity streams into GROUP-ordered words (group
-        # q = r*P + p), preserving the ascending-position emission order
-        # through the word-level compaction below.
-        QPW = QP // 32
-        NWU = Q // 32
         # multiply by 2^lane instead of shifting by a per-lane amount
         # (variable-amount shifts lower to slow multi-op VPU sequences)
         wpow = jnp.asarray(
             np.uint32(1) << np.arange(32, dtype=np.uint32)
         ).reshape(1, 32)
-        pw = [
-            jnp.sum(
-                f.reshape(QPW, 32).astype(jnp.uint32) * wpow,
+        rlane = jax.lax.broadcasted_iota(jnp.int32, (QP,), 0)
+
+        if cfg.strict:
+            # ---- unit-projection front end: ONE gather per u32 UNIT ----
+            # (8 scan positions). The 26-bit key = window bases C..C+12,
+            # assembled from the W0/c2 registers; truncated tables keep
+            # the low gq bits (top bases folded away). Bypass (dirty keyed
+            # bases) and per-phase validity follow the loose semantics.
+            C2 = 2 * PROJ_UNIT_START
+            hi_m = jnp.uint32((1 << (2 * (PROJ_UNIT_START - 3))) - 1)
+            kfull = (W0 >> C2) | ((c2 & hi_m) << (32 - C2))
+            vfull = (Wa >> C2) | ((a2 & hi_m) << (32 - C2))
+            bk = kfull & m2q
+            vq = (vfull & m2q) == 0
+            qword = qb_tab[(bk >> 5).astype(jnp.int32)]
+            hitu = _bit_at(qword, bk & 31) == 1
+            pvU = jnp.zeros((QP,), jnp.bool_)
+            for d in range(8):  # any-phase W-mer validity over the unit
+                if d == 0:
+                    va = Wa & m2w
+                else:
+                    va = ((Wa >> (2 * d)) | (a2 << (32 - 2 * d))) & m2w
+                pvU = pvU | ((va == 0) & (rlane * 8 + d < n_scan))
+            if stop == "hash":
+                return _stopped(kfull, pvU)
+            # Units whose keyed bases contain an ambiguous base skip the
+            # table (their value bits are garbage) and go straight to the
+            # exact per-phase machinery — only costs capacity near
+            # ambiguity runs (and keeps IUPAC dirty-genome matches).
+            flag = pvU & (hitu | ~vq)
+            if stop == "bloom":
+                return _stopped(flag)
+            c_total = jnp.sum(flag.astype(jnp.int32))
+            NWU = QP // 32
+            words = jnp.sum(
+                flag.reshape(NWU, 32).astype(jnp.uint32) * wpow,
                 axis=1,
                 dtype=jnp.uint32,
             )
-            for f in flags_p
-        ]
+        else:
+            AV, pvs, vcs = [], [], []
+            for p in range(P):  # parity p: groups at unit base S_*p
+                sh = 2 * S_ * p
+                if sh == 0:
+                    A, Aa = W0, Wa
+                else:
+                    A = (W0 >> sh) | (c2 << (32 - sh))
+                    Aa = (Wa >> sh) | (a2 << (32 - sh))
+                Ba = a2 >> sh  # shifted-window bits 32.. (W-mer spill, W=16)
+                pv = jnp.zeros((QP,), jnp.bool_)
+                for d in range(S_):
+                    va = (Aa >> (2 * d)) & m2w
+                    if 2 * (d + W) > 32:  # only possible for d >= 1
+                        va = va | ((Ba << (32 - 2 * d)) & m2w)
+                    pv = pv | (
+                        (va == 0) & (rlane * 8 + S_ * p + d < n_scan)
+                    )
+                AV.append((A & m2kb))
+                pvs.append(pv)
+                vcs.append((Aa & m2kb) == 0)
+            if stop == "hash":
+                return _stopped(*AV, *pvs)
 
-        def _spread(x, step):
-            """Zero-interleave the low 32//step bits to stride `step`."""
-            if step == 2:
-                x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
-                x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
-                x = (x | (x << 2)) & jnp.uint32(0x33333333)
-                x = (x | (x << 1)) & jnp.uint32(0x55555555)
-            else:  # step == 4
-                x = (x | (x << 12)) & jnp.uint32(0x000F000F)
-                x = (x | (x << 6)) & jnp.uint32(0x03030303)
-                x = (x | (x << 3)) & jnp.uint32(0x11111111)
-            return x
+            flags_p = []
+            for p in range(P):
+                if cfg.exact_group:
+                    # truncated tables drop top span bases: low gq bits
+                    bk = AV[p] & m2q
+                else:
+                    bk = (AV[p] * jnp.uint32(0x9E3779B1)) >> (
+                        32 - cfg.qbloom_bits
+                    )
+                qword = qb_tab[(bk >> 5).astype(jnp.int32)]
+                hit = _bit_at(qword, bk & 31) == 1
+                # Groups whose key span contains an ambiguous base skip
+                # the table and go straight to the exact per-phase CSR.
+                flags_p.append(pvs[p] & (hit | ~vcs[p]))
+            if stop == "bloom":
+                return _stopped(*flags_p)
+            c_total = jnp.int32(0)
+            for f in flags_p:
+                c_total = c_total + jnp.sum(f.astype(jnp.int32))
 
-        parts = []
-        for s in range(P):  # s-th group-word carved from each parity word
-            width = 32 // P
-            sub = [(w >> (width * s)) & ((1 << width) - 1) for w in pw]
-            acc = _spread(sub[0], P)
-            for i in range(1, P):
-                acc = acc | (_spread(sub[i], P) << i)
-            parts.append(acc)
-        words = jnp.stack(parts, axis=-1).reshape(NWU)
+            # Pack each parity's flags into 32-bit words over r, then bit-
+            # interleave the P parity streams into GROUP-ordered words
+            # (group q = r*P + p), preserving the ascending-position
+            # emission order through the word-level compaction below.
+            QPW = QP // 32
+            NWU = Q // 32
+            pw = [
+                jnp.sum(
+                    f.reshape(QPW, 32).astype(jnp.uint32) * wpow,
+                    axis=1,
+                    dtype=jnp.uint32,
+                )
+                for f in flags_p
+            ]
+
+            def _spread(x, step):
+                """Zero-interleave the low 32//step bits to stride step."""
+                if step == 2:
+                    x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+                    x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+                    x = (x | (x << 2)) & jnp.uint32(0x33333333)
+                    x = (x | (x << 1)) & jnp.uint32(0x55555555)
+                else:  # step == 4
+                    x = (x | (x << 12)) & jnp.uint32(0x000F000F)
+                    x = (x | (x << 6)) & jnp.uint32(0x03030303)
+                    x = (x | (x << 3)) & jnp.uint32(0x11111111)
+                return x
+
+            parts = []
+            for s in range(P):  # s-th group-word from each parity word
+                width = 32 // P
+                sub = [(w >> (width * s)) & ((1 << width) - 1) for w in pw]
+                acc = _spread(sub[0], P)
+                for i in range(1, P):
+                    acc = acc | (_spread(sub[i], P) << i)
+                parts.append(acc)
+            words = jnp.stack(parts, axis=-1).reshape(NWU)
     else:
         codes = _encode_codes(tile_bytes)
         isamb = codes == AMBIG
@@ -587,57 +622,96 @@ def _scan_tile_impl(
             return tile_bytes[jnp.clip(idx, 0, TB - 1)].astype(jnp.int32)
 
     if cfg.packed:
-        # Each compacted group contributes its phases' bucket candidates in
-        # phase order d = 0..S-1 (ascending scan position — the emission-
-        # order contract). Which phases participate is decided by the
-        # phase-bit nibble nb (bit d = phase d may anchor a bucket key):
-        # for clean spans in exact mode, ONE gather of the exact phase
+        # Each compacted unit/group contributes its phases' bucket
+        # candidates in phase order d (ascending scan position — the
+        # emission-order contract). Which phases participate is decided by
+        # the phase-bit nibble nb (bit d = phase d may anchor a bucket
+        # key): for clean spans in exact mode, gathers of the exact phase
         # table (zero false phases, so the expansion below tracks real
         # density); otherwise the per-phase validity bits (the exact CSR
-        # probe then rejects non-keys).
-        gs = gstate[cpos // P]  # ONE row gather: [c0 c1 c2 a0 a1 a2]
-        # NOTE: variable-amount shifts are fine here — measured: replacing
-        # them with constant-shift where-selects made this stage ~0.4 ms
-        # SLOWER at dense caps (extra ops cost more than the var shifts;
-        # these small-lane stages are op-count-bound, not shift-bound).
-        shv = jnp.uint32(2 * S_) * (cpos % P).astype(jnp.uint32)
-        W0c = gs[:, 0] | (gs[:, 1] << 16)
-        Wac = gs[:, 3] | (gs[:, 4] << 16)
-        # shv == 0 guard: a shift by 32 is undefined, but that lane takes
-        # the where's other branch, so the garbage is discarded
-        Ac = jnp.where(shv == 0, W0c, (W0c >> shv) | (gs[:, 2] << (32 - shv)))
-        Aac = jnp.where(shv == 0, Wac, (Wac >> shv) | (gs[:, 5] << (32 - shv)))
-        Bc = gs[:, 2] >> shv
-        Bac = gs[:, 5] >> shv
+        # probe then rejects non-keys). SPH = phases per compacted item:
+        # the strict front end compacts whole u32 UNITS (8 positions),
+        # the loose front end stride-groups.
+        if cfg.strict:
+            SPH = 8
+            gs = gstate[cpos]  # ONE row gather: [c0 c1 c2 a0 a1 a2]
+            Ac = gs[:, 0] | (gs[:, 1] << 16)  # unit window bases 0..15
+            Aac = gs[:, 3] | (gs[:, 4] << 16)
+            Bc = gs[:, 2]  # bases 16..23
+            Bac = gs[:, 5]
+        else:
+            SPH = S_
+            gs = gstate[cpos // P]  # ONE row gather: [c0 c1 c2 a0 a1 a2]
+            # NOTE: variable-amount shifts are fine here — measured:
+            # replacing them with constant-shift where-selects made this
+            # stage ~0.4 ms SLOWER at dense caps (extra ops cost more than
+            # the var shifts; these small-lane stages are op-count-bound,
+            # not shift-bound).
+            shv = jnp.uint32(2 * S_) * (cpos % P).astype(jnp.uint32)
+            W0c = gs[:, 0] | (gs[:, 1] << 16)
+            Wac = gs[:, 3] | (gs[:, 4] << 16)
+            # shv == 0 guard: a shift by 32 is undefined, but that lane
+            # takes the where's other branch, so the garbage is discarded
+            Ac = jnp.where(
+                shv == 0, W0c, (W0c >> shv) | (gs[:, 2] << (32 - shv))
+            )
+            Aac = jnp.where(
+                shv == 0, Wac, (Wac >> shv) | (gs[:, 5] << (32 - shv))
+            )
+            Bc = gs[:, 2] >> shv
+            Bac = gs[:, 5] >> shv
         nbv = jnp.zeros_like(Ac)
-        for d in range(S_):
+        for d in range(SPH):
             pha = (Aac >> (2 * d)) & m2w
-            if 2 * (d + W) > 32:  # W-mer spill past bit 32 (W=16, d>=1)
+            if 2 * (d + W) > 32:  # W-mer spill past bit 32
                 pha = pha | ((Bac << (32 - 2 * d)) & m2w)
-            ok_d = (pha == 0) & (cpos * S_ + d < n_scan)
+            ok_d = (pha == 0) & (cpos * SPH + d < n_scan)
             nbv = nbv | (ok_d.astype(jnp.uint32) << d)
         if cfg.exact_group:
-            keyc = Ac & m2kb
             NPS = 5 - (S_.bit_length() - 1)  # log2(32 / S)
-            # strict and loose share ONE exact phase table (zero false
-            # phases either way); strict mode's extra pruning lives in the
-            # group front end (qbloom_s) and the t16 position filter
-            wordc = table.ptab[(keyc >> NPS).astype(jnp.int32)]
-            nbt = (
-                wordc >> ((keyc & ((1 << NPS) - 1)) * jnp.uint32(S_))
-            ) & jnp.uint32((1 << S_) - 1)
-            # clean span => every phase ambiguity-free, so nbv holds just
-            # the in-bounds bits there and nbt & nbv is "real key, in
-            # bounds"; dirty spans (garbage key) keep the validity bits
-            vcc = (Aac & m2kb) == 0
-            nb = jnp.where(vcc, nbt & nbv, nbv)
+
+            def ptab_bits(keyc):
+                """Exact phase bits for one stride-group span key."""
+                wordc = table.ptab[(keyc >> NPS).astype(jnp.int32)]
+                return (
+                    wordc >> ((keyc & ((1 << NPS) - 1)) * jnp.uint32(S_))
+                ) & jnp.uint32((1 << S_) - 1)
+
+            if cfg.strict:
+                # A compacted UNIT holds P stride-groups (parities); each
+                # gets its exact phase-table gather — at compacted-unit
+                # granularity these are cheap. Clean span => trust the
+                # phase bits; dirty span => keep the validity bits.
+                ms = jnp.uint32((1 << S_) - 1)
+                nb = jnp.zeros_like(nbv)
+                for p2 in range(P):
+                    shp = 2 * S_ * p2
+                    if shp == 0:
+                        Akp, Aakp = Ac, Aac
+                    else:
+                        Akp = (Ac >> shp) | (Bc << (32 - shp))
+                        Aakp = (Aac >> shp) | (Bac << (32 - shp))
+                    nbt_p = ptab_bits(Akp & m2kb)
+                    vcc_p = (Aakp & m2kb) == 0
+                    nbv_p = (nbv >> (S_ * p2)) & ms
+                    sub = jnp.where(vcc_p, nbt_p & nbv_p, nbv_p)
+                    nb = nb | (sub << (S_ * p2))
+            else:
+                keyc = Ac & m2kb
+                nbt = ptab_bits(keyc)
+                # clean span => every phase ambiguity-free, so nbv holds
+                # just the in-bounds bits there and nbt & nbv is "real
+                # key, in bounds"; dirty spans (garbage key) keep the
+                # validity bits
+                vcc = (Aac & m2kb) == 0
+                nb = jnp.where(vcc, nbt & nbv, nbv)
         else:
             nb = nbv
         nb = jnp.where(cvalid, nb, 0)
         if stop == "nb":
             return _stopped(nb)
 
-        # ---- 5a. (group, phase) -> position expansion ----------------------
+        # ---- 5a. (unit, phase) -> position expansion -----------------------
         pcnt = jax.lax.population_count(nb).astype(jnp.int32)
         pos_total = jnp.sum(pcnt)
         srcg, gexcl = _rank_invert(pcnt, cfg.pos_cap)
@@ -645,11 +719,11 @@ def _scan_tile_impl(
         pos_valid = tq < pos_total
         if stop == "posrank":
             return _stopped(srcg, gexcl)
-        # everything the position stage needs from its group in ONE 4-col
+        # everything the position stage needs from its unit in ONE 4-col
         # row gather (gather cost is per ROW on this hardware): the B
         # registers and their ambiguity bits are <= 16 bits each (spill
-        # past the 32-bit A register), and the S_-bit phase nibble packs
-        # into the group index's high byte (cpos < 2^24 at every tile size)
+        # past the 32-bit A register), and the SPH-bit phase nibble packs
+        # into the unit index's high byte (cpos < 2^24 at every tile size)
         g2 = jnp.stack(
             [
                 Ac,
@@ -664,24 +738,26 @@ def _scan_tile_impl(
         Bacg = g2[:, 2] >> 16
         nbg = g2[:, 3] >> 24
         gposg = (g2[:, 3] & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
-        # select the rank-th set bit of the S-bit nibble -> phase
+        # select the rank-th set bit of the SPH-bit nibble -> phase
         rb = tq - gexcl
         ph = jnp.zeros_like(rb)
         w2 = nbg
-        for half in ((2, 1) if S_ == 4 else (1,)):
+        half = SPH >> 1
+        while half:
             lowmask = jnp.uint32((1 << half) - 1)
             clow = jax.lax.population_count(w2 & lowmask).astype(jnp.int32)
             go_hi = rb >= clow
             ph = ph + jnp.where(go_hi, half, 0)
             rb = rb - jnp.where(go_hi, clow, 0)
             w2 = jnp.where(go_hi, w2 >> half, w2 & lowmask)
+            half >>= 1
         phh = jnp.zeros_like(Acg)
-        for d in range(S_):
+        for d in range(SPH):
             v = (Acg >> (2 * d)) & m2w
             if 2 * (d + W) > 32:
                 v = v | ((Bcg << (32 - 2 * d)) & m2w)
             phh = jnp.where(ph == d, v, phh)
-        pposx = gposg * S_ + ph  # local scan position of each candidate
+        pposx = gposg * SPH + ph  # local scan position of each candidate
         if stop == "posg2":
             return _stopped(phh, pposx)
         if cfg.strict and cfg.t16_bits:
@@ -1117,25 +1193,30 @@ def default_config(
     # the occupancy bitmask is exact when it covers all 2W hash bits;
     # truncation false positives only exist for W > bloom_bits/2
     trunc_fp = E / float(1 << bloom_bits) if bloom_bits < 2 * wordsize else 0.0
+    strict = strict and packed  # strict front end exists only packed
     if packed:
-        # group flagged if any of its S phases is a real bucket key, plus
-        # (mult-hash fallback only) bloom false positives; the exact
-        # direct-mapped table has none. Strict mode uses the MEASURED
-        # set-bit densities of the extension-strict tables.
+        # unit/group flagged if any of its phases is a real bucket key,
+        # plus (mult-hash fallback only) bloom false positives; the exact
+        # direct-mapped tables have none. Strict mode uses the MEASURED
+        # set-bit density of the unit-projection table, whose flags cover
+        # whole u32 units (8 positions per lookup).
         if strict:
             p_unit = sq_density
-        elif exact_group:
-            # measured set-bit fraction when available (accounts for
-            # truncation false flags); model estimate otherwise
-            p_unit = (
-                q_density if q_density >= 0 else min(1.0, stride * p_real)
-            )
+            units = tile_len // 8
         else:
-            fp_q = min(
-                1.0, stride * 4 ** (stride - 1) * E1 / float(1 << qbloom_bits)
-            )
-            p_unit = fp_q + min(1.0, stride * p_real)
-        units = tile_len // stride
+            if exact_group:
+                # measured set-bit fraction when available (accounts for
+                # truncation false flags); model estimate otherwise
+                p_unit = (
+                    q_density if q_density >= 0 else min(1.0, stride * p_real)
+                )
+            else:
+                fp_q = min(
+                    1.0,
+                    stride * 4 ** (stride - 1) * E1 / float(1 << qbloom_bits),
+                )
+                p_unit = fp_q + min(1.0, stride * p_real)
+            units = tile_len // stride
     else:
         p_unit = p_real + trunc_fp
         units = tile_len
@@ -1146,18 +1227,18 @@ def default_config(
     # phase-table density; the fallback expands every valid phase of a
     # flagged group
     if packed and strict:
-        # Positions only expand inside strict-FLAGGED groups (the expand
+        # Positions only expand inside strict-FLAGGED units (the expand
         # stage masks nb by the compacted strict flags), so the realistic
-        # expectation is flagged-group count x loose phase bits per
-        # flagged group (>= 1 by construction, + background) — ~4x
-        # tighter than the raw loose-phase bound on dense sets, and the
-        # pos stage costs O(pos_cap) lanes regardless of actual counts.
-        # The loose bound stays as an upper clamp; undersizing only costs
-        # an escalation retry, never correctness.
-        per_group = 1.0 + stride * min(1.0, sp_density)
+        # expectation is flagged-unit count x loose phase bits per
+        # flagged unit (>= 1 by construction, + background over the 8
+        # phases) — far tighter than the raw loose-phase bound on dense
+        # sets, and the pos stage costs O(pos_cap) lanes regardless of
+        # actual counts. The loose bound stays as an upper clamp;
+        # undersizing only costs an escalation retry, never correctness.
+        per_group = 1.0 + 8 * min(1.0, sp_density)
         expect_pos = int(
             tile_len
-            * min(sp_density, (sq_density / stride) * per_group, 1.0)
+            * min(sp_density, (sq_density / 8) * per_group, 1.0)
         )
     elif packed and exact_group:
         expect_pos = int(tile_len * min(1.0, E1 / float(4**wordsize)))

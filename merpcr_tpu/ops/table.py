@@ -96,8 +96,10 @@ def _lsb_keys(hashes: np.ndarray, wordsize: int) -> np.ndarray:
     return k.astype(np.int64)
 
 
-PROJ_START = 3  # strict projection window = bases PROJ_START..15 of the
-#                 16-base group window (26-bit key -> exact 8 MB table)
+PROJ_UNIT_START = 7  # C: strict projection window = bases C..C+12 of the
+#                      24-base u32-UNIT window (26-bit key -> exact 8 MB
+#                      table, ONE front-end gather per 8 scan positions)
+PROJ_BASES = 13
 
 
 def _build_strict(
@@ -109,94 +111,92 @@ def _build_strict(
     stride: int,
     iupac_mode: bool,
 ):
-    """Projection-strict front-end tables, valid only when mismatches == 0.
+    """Unit-projection strict front-end tables, valid only at mismatches==0.
 
-    A loose group table answers "do bases d..d+W-1 of this group's window
-    form a bucket key for some phase d" — pure W-mer occupancy. But at
-    N==0 a candidate only survives the full primer1 verify if the primer
-    bases BEYOND the W-mer also match the genome (reference
-    engine.py:599-642), and for clean spans those extension bases sit in
-    the same 16-base register window the scan already holds.
+    At N==0 a candidate only survives the full primer1 verify if EVERY
+    active primer byte matches the genome (reference engine.py:599-642),
+    so for clean genome any 13 consecutive primer-covered bases are as
+    selective as the W-mer itself. That turns the front end's granularity
+    into a free variable — and the scan's natural unit is the u32 register
+    (8 scan positions, with bases 0..23 of the unit window already in
+    registers):
 
-    * ``qbloom_s`` — exact direct-mapped bit table keyed by the PROJECTION
-      of the group's 16-base window onto bases PROJ_START..15 (26 bits,
-      8 MB — the fast gather tier). A projected value's bit is set iff for
-      SOME phase d and SOME entry, the projected key bases equal the
-      entry's W-mer at those offsets AND the projected extension bases
-      match the primer continuation. Projecting on the window's TOP bases
-      is the load-bearing choice: every phase d <= PROJ_START keeps
-      >= 13 - PROJ_START constrained bases, so the LAST phase of a group —
-      whose in-span extension is empty in a span-(W+S-1) keying, making it
-      contribute pure W-mer density that dominates dense sets — is
-      extension-constrained like every other phase. Measured on 50k random
-      STS: flagged-group density 3.1% (span keying, 33.5 MB) -> ~0.6%
-      (projection, 8 MB). Free dimensions (bases past the primer end,
-      multi-code IUPAC primer letters) are enumerated, so the table
-      over-approximates but never drops a verifiable candidate. Works for
-      EVERY wordsize 3..16 (key bases outside the projection simply don't
-      constrain), which extends strict mode to W >= 14 where no exact span
-      table exists. Phase bits within a flagged group still come from the
-      LOOSE phase table ``ptab`` when one exists (W <= 13); the mult-hash
-      fallback (W >= 14) expands every valid phase of a flagged group.
+    * ``qbloom_s`` — exact direct-mapped bit table keyed by window bases
+      C..C+12 (C = PROJ_UNIT_START = 7; 26 bits -> 8 MB, the fast gather
+      tier). A value's bit is set iff for SOME phase d in 0..7 and SOME
+      entry, genome bases C..C+12 are consistent with the primer's bytes
+      hoff+C-d .. hoff+C+12-d (W-mer codes where the byte falls inside
+      the W-mer, extension continuation bytes beyond it, FREE past the
+      primer end). C = 7 makes every phase's 13 keyed bases land inside
+      the primer (at byte offsets >= C-d >= 0), so ALL phases are fully
+      constrained for primers of length >= 20-ish and the table answers
+      8 phases with ONE gather — the scan does 2^18 gathers per 2-Mbp
+      tile instead of 2^19 (stride 4) or 2^20 (stride 2). Free
+      dimensions (bases past the primer end, bases after a multi-code
+      IUPAC byte) are enumerated, so the table over-approximates but
+      never drops a verifiable candidate; works for EVERY wordsize and
+      stride, which also arms strict mode at W >= 14 (mult-hash loose
+      front end). Phase bits within a flagged unit come from the LOOSE
+      exact phase table ``ptab`` when one exists (W <= 13); the W >= 14
+      fallback expands every valid phase of a flagged unit.
     * ``t16`` — a multiplicative-hashed bitmask keyed by the FULL 16-base
-      window starting at a candidate position (the scan has those bases in
-      registers already). One gather per expanded position filters the
+      window starting at a candidate position (the scan has those bases
+      in registers already). One gather per expanded position filters the
       candidate stream down to ~real-match density before pair expansion;
-      it also restores the PROJ_START prefix bases the group table
-      projected away.
+      it also restores the per-POSITION precision the shared unit key
+      cannot express.
 
-    Soundness (no lost hits at N==0, clean spans): a position kept out can
-    only have candidates with a primer-vs-clean-genome mismatch, which the
-    verify would reject anyway. Windows whose projected bases contain an
-    ambiguous base bypass these tables entirely in the scan (validity
-    masks), preserving the reference's ambiguity semantics — in IUPAC mode
-    a dirty genome base can legitimately match through the exact verify;
-    primer bytes that cannot match ANY clean base (e.g. 'N' in non-IUPAC
-    mode) drop the insert for that phase — such entries can only match
-    through dirty genome, which takes the bypass path.
+    Soundness (no lost hits at N==0, clean windows): a unit kept out can
+    only contain candidates with a primer-vs-clean-genome mismatch, which
+    the verify would reject anyway. Units whose keyed bases contain an
+    ambiguous base bypass the table entirely in the scan (validity
+    masks), preserving the reference's ambiguity semantics — in IUPAC
+    mode a dirty genome base can legitimately match through the exact
+    verify; primer bytes that cannot match ANY clean base (e.g. 'N' in
+    non-IUPAC mode) drop the insert for that phase — such entries can
+    only match through dirty genome, which takes the bypass path.
 
-    Returns (qbloom_s, t16, t16_bits, t16_real); qbloom_s is None when the
-    insert enumeration would explode (pathologically short primers), which
-    disables strict mode entirely.
+    Returns (qbloom_s, t16, t16_bits, t16_real); qbloom_s is None when
+    the insert enumeration would explode (pathologically short or
+    IUPAC-saturated primers), which disables strict mode entirely.
     """
     E = len(ehash)
-    bits = 2 * (16 - PROJ_START)
-    qbloom_s = np.zeros((1 << bits) // 32, dtype=np.uint32)
+    C = PROJ_UNIT_START
+    qbloom_s = np.zeros((1 << (2 * PROJ_BASES)) // 32, dtype=np.uint32)
 
-    nb = 16 - wordsize  # extension bases visible to phase 0 (and t16)
+    # Per-entry classification over primer offsets t = 0..C+12 (relative
+    # to hoff): W-mer offsets carry their exact hash code; beyond-W
+    # offsets classify by how many CLEAN genome codes match the primer
+    # byte (IUPAC-aware); offsets past the primer end are FREE.
+    T = C + PROJ_BASES  # 20 offsets
     nm = nib_match_matrix(iupac_mode)[:4, :].astype(bool)  # clean codes only
-    if nb > 0:
-        j = np.arange(nb)
-        idx = hoff[:, None] + wordsize + j[None, :]  # primer byte per ext pos
-        act = idx < p1len[:, None]
-        byc = PRIMER_CODE_LUT[
-            p1_bytes[
-                np.arange(E)[:, None], np.minimum(idx, p1_bytes.shape[1] - 1)
-            ]
-        ]
-        mm = nm[:, byc]  # (4, E, nb): clean genome code c matches primer byte
-        ncode = mm.sum(axis=0).astype(np.int32)
-        code1 = mm.argmax(axis=0).astype(np.uint64)
-        # inactive positions (past primer end) are FREE; FIXED iff exactly
-        # one clean code matches; IMPOSSIBLE (ncode==0) => unmatchable on
-        # clean genome
-        ncode = np.where(act, ncode, 4)
-    else:
-        ncode = np.zeros((E, 0), dtype=np.int32)
-        code1 = np.zeros((E, 0), dtype=np.uint64)
-    # prefix extension values: pv[:, k] = sum_{j<k} code1[:, j] << 2j
-    pv = np.zeros((E, nb + 1), dtype=np.uint64)
-    for k in range(nb):
-        pv[:, k + 1] = pv[:, k] | (code1[:, k] << np.uint64(2 * k))
+    t = np.arange(T)
+    idx = hoff[:, None] + t[None, :]
+    act = idx < p1len[:, None]
+    byc = PRIMER_CODE_LUT[
+        p1_bytes[np.arange(E)[:, None], np.minimum(idx, p1_bytes.shape[1] - 1)]
+    ]
+    mm = nm[:, byc]  # (4, E, T): clean genome code c matches primer byte
+    ncode = mm.sum(axis=0).astype(np.int32)
+    code1 = mm.argmax(axis=0).astype(np.uint64)
+    inW = t[None, :] < wordsize  # W-mer offsets: exact single code
+    wcode = (
+        ehash[:, None] >> (2 * t[None, :]).astype(np.uint64)
+    ) & np.uint64(3)
+    # inactive offsets (past primer end) are FREE; FIXED iff exactly one
+    # clean code matches; IMPOSSIBLE (ncode==0) => unmatchable on clean
+    # genome. (W-mer offsets are always inside the primer: hoff+W<=p1len.)
+    ncode = np.where(inW, 1, np.where(act, ncode, 4))
+    code1 = np.where(inW, wcode, code1)
 
-    def _fixed_run(width: int):
-        """(drop, fr): unmatchable flag + leading FIXED-run length over the
-        first `width` extension positions."""
+    def _fixed_run(nc: np.ndarray):
+        """(drop, fr): unmatchable flag + leading FIXED-run length over a
+        (E, width) classification slice."""
+        width = nc.shape[1]
         if width == 0:
             return np.zeros(E, dtype=bool), np.zeros(E, dtype=np.int64)
-        sub = ncode[:, :width]
-        drop = (sub == 0).any(axis=1)
-        fixed = sub == 1
+        drop = (nc == 0).any(axis=1)
+        fixed = nc == 1
         allf = fixed.all(axis=1)
         fr = np.where(allf, width, np.argmin(fixed, axis=1))
         return drop, fr.astype(np.int64)
@@ -208,69 +208,129 @@ def _build_strict(
             np.uint32(1) << (v & 31).astype(np.uint32),
         )
 
-    # insert-count guard: free-base enumeration is 4^(free) per entry per
-    # phase; bail (strict disabled) on pathological sets instead of a
-    # multi-minute host build
+    # Exact mixed-radix enumeration: each keyed position contributes its
+    # TRUE allowed-code count as a radix (a degenerate IUPAC 'R' is a
+    # factor of 2, not a free-enumeration trigger; only bases past the
+    # primer end — and 'N'-like full-degenerate bytes — are radix 4).
+    # The insert count per (entry, phase) is the product of the radices;
+    # the guard bails strict mode only on genuinely pathological sets
+    # (very short primers: many radix-4 tails).
+    amask = (
+        mm[0].astype(np.uint8)
+        | (mm[1].astype(np.uint8) << 1)
+        | (mm[2].astype(np.uint8) << 2)
+        | (mm[3].astype(np.uint8) << 3)
+    )  # allowed-clean-code bitmask per primer offset
+    amask = np.where(
+        inW,
+        np.uint8(1) << wcode.astype(np.uint8),
+        np.where(act, amask, np.uint8(15)),
+    )
+    POPC4 = np.array([bin(i).count("1") for i in range(16)], dtype=np.int64)
+    # NTH[mask, j] = j-th allowed code of a 4-bit mask (row-padded)
+    NTH = np.zeros((16, 4), dtype=np.uint64)
+    for mask in range(16):
+        lst = [c for c in range(4) if (mask >> c) & 1] or [0]
+        for j in range(4):
+            NTH[mask, j] = lst[min(j, len(lst) - 1)]
+
+    # A FREE SUFFIX (trailing radix-4 positions: bases past the primer
+    # end, common for short primers / large hash offsets / small C+13
+    # windows) is handled by product structure, not enumeration: the
+    # constrained-prefix values scatter into a 4^s-bit class block, which
+    # then tiles (one broadcast OR) across the whole table — O(table) per
+    # suffix class instead of O(4^suffix) per entry.
     n_ins = 0
     plans = []
-    for d in range(stride):
-        nb_d = 16 - wordsize - d  # extension bases visible to phase d
-        if nb_d <= 0:
-            plans.append((None, None))
-            n_ins += E
-            continue
-        drop, fr = _fixed_run(nb_d)
-        plans.append((drop, fr))
-        n_ins += int(
-            (1 << (2 * (nb_d - fr[~drop]))).astype(np.int64).sum()
-        )
-    if n_ins > (1 << 27):
+    for d in range(8):
+        t0 = C - d  # first primer offset keyed by the projection
+        sub = amask[:, t0 : t0 + PROJ_BASES]  # (E, 13)
+        cnt = POPC4[sub]
+        drop = (cnt == 0).any(axis=1)
+        free_sfx = np.minimum.accumulate((cnt == 4)[:, ::-1], axis=1)[
+            :, ::-1
+        ]  # trailing all-free run mask
+        s = PROJ_BASES - free_sfx.sum(axis=1)  # constrained-prefix length
+        pcnt = np.where(free_sfx, 1, cnt)
+        prod = pcnt.clip(1).prod(axis=1)  # true prefix enumerations
+        prod = np.where(drop, 0, prod)
+        plans.append((sub, pcnt, prod, s))
+        n_ins += int(prod.sum())
+    # Bail (strict disabled, loose front end) when the set is pathological
+    # (saturated degenerate primers): the insert count — and with it both
+    # the host build time and the table density — is past usefulness.
+    if n_ins > (1 << 25):
         return None, np.zeros(1, dtype=np.uint32), 0, 0.0
 
-    for d in range(stride):
-        nb_d = 16 - wordsize - d
-        # key bases j of the W-mer sit at window base d+j; the projection
-        # keeps j in [j0, j1] at projection bits 2*(d + j - PROJ_START)
-        j0 = max(0, PROJ_START - d)
-        j1 = min(wordsize - 1, 15 - d)
-        if j1 >= j0:
-            km = (np.uint64(1) << np.uint64(2 * (j1 - j0 + 1))) - np.uint64(1)
-            kv = ((ehash >> np.uint64(2 * j0)) & km) << np.uint64(
-                2 * (d + j0 - PROJ_START)
+    blocks: dict = {}  # suffix class s -> 4^s-bit prefix bitmap
+
+    def _scatter_block(v: np.ndarray, s: int):
+        if s >= PROJ_BASES:
+            _scatter(v)
+            return
+        blk = blocks.get(s)
+        if blk is None:
+            blk = blocks[s] = np.zeros(
+                max((1 << (2 * s)) // 32, 1), dtype=np.uint32
             )
-        else:  # tiny W: phase's whole key is projected away
-            kv = np.zeros(E, dtype=np.uint64)
-        if nb_d <= 0:  # no extension visible (W >= 16 - d)
-            _scatter(kv)
-            continue
-        drop, fr = plans[d]
-        # ext base k (primer byte hoff+W+k) sits at window base d+W+k
-        extshift = 2 * (d + wordsize - PROJ_START)
-        for f in range(nb_d + 1):
-            sel = np.flatnonzero(~drop & (fr == f))
-            if not len(sel):
-                continue
-            base = kv[sel] | (pv[sel, f] << np.uint64(extshift))
-            nfree = 1 << (2 * (nb_d - f))
-            free = np.arange(nfree, dtype=np.uint64) << np.uint64(
-                extshift + 2 * f
-            )
-            step = max(1, (1 << 22) // nfree)
-            for a in range(0, len(sel), step):
-                v = (base[None, a : a + step] | free[:, None]).reshape(-1)
-                _scatter(v)
+        np.bitwise_or.at(
+            blk,
+            (v >> 5).astype(np.int64),
+            np.uint32(1) << (v & 31).astype(np.uint32),
+        )
+
+    for d in range(8):
+        sub, cnt, prod, s = plans[d]
+        # radix prefix products: digit k of index m = (m // rp[:, k]) % cnt
+        rp = np.ones((E, PROJ_BASES), dtype=np.int64)
+        np.cumprod(cnt[:, :-1], axis=1, out=rp[:, 1:])
+        # bucket entries by (product magnitude, suffix class) so the
+        # m-enumeration wastes at most 4x on the m < prod mask
+        lim = 1
+        while lim < int(prod.max(initial=1)) + 1:
+            in_lim = (prod > lim // 4) & (prod <= lim)
+            for sc in np.unique(s[in_lim]):
+                sel = np.flatnonzero(in_lim & (s == sc))
+                subs, cnts, rps, prods = sub[sel], cnt[sel], rp[sel], prod[sel]
+                step = max(1, (1 << 22) // lim)
+                for a in range(0, len(sel), step):
+                    sl = slice(a, a + step)
+                    m = np.arange(lim, dtype=np.int64)[:, None]  # (lim, 1)
+                    v = np.zeros((lim, subs[sl].shape[0]), dtype=np.uint64)
+                    for k in range(int(sc)):
+                        dig = (m // rps[sl, k][None, :]) % cnts[sl, k][None, :]
+                        v |= NTH[subs[sl, k][None, :], dig] << np.uint64(2 * k)
+                    _scatter_block(v[m < prods[sl][None, :]], int(sc))
+            lim *= 4
+
+    for sc, blk in sorted(blocks.items()):
+        if (1 << (2 * sc)) < 32:  # sub-word block: expand bits into word 0
+            w = 0
+            for b in range(1 << (2 * sc)):
+                if (blk[0] >> b) & 1:
+                    for r in range(32 // (1 << (2 * sc))):
+                        w |= 1 << (b + r * (1 << (2 * sc)))
+            qbloom_s |= np.uint32(w)
+        else:
+            qbloom_s.reshape(-1, len(blk))[:] |= blk[None, :]
 
     # ---- 16-base position filter ------------------------------------------
-    drop16, fr16 = _fixed_run(nb)
+    nb = 16 - wordsize  # extension bases past the W-mer inside the window
+    drop16, fr16 = _fixed_run(ncode[:, wordsize:16])
     n16 = int(((1 << (2 * (nb - fr16[~drop16]))).astype(np.int64)).sum())
     if 0 < n16 <= T16_MAX_INSERTS:
         t16_bits = int(np.clip(int(np.ceil(np.log2(max(n16, 2)))) + 10, 16, 27))
         t16 = np.zeros((1 << t16_bits) // 32, dtype=np.uint32)
+        pvE = np.zeros((E, nb + 1), dtype=np.uint64)
+        for k in range(nb):
+            pvE[:, k + 1] = pvE[:, k] | (
+                code1[:, wordsize + k] << np.uint64(2 * k)
+            )
         for f in range(nb + 1):
             sel = np.flatnonzero(~drop16 & (fr16 == f))
             if not len(sel):
                 continue
-            base = ehash[sel] | (pv[sel, f] << np.uint64(2 * wordsize))
+            base = ehash[sel] | (pvE[sel, f] << np.uint64(2 * wordsize))
             nfree = 1 << (2 * (nb - f))
             free = np.arange(nfree, dtype=np.uint64) << np.uint64(
                 2 * (wordsize + f)
@@ -622,8 +682,14 @@ def compile_table(
         strict = qbloom_s is not None  # insert-explosion bail
     if strict:
         qbloom_s, sq_bits, sq_density = _truncate_group_table(
-            qbloom_s, 2 * (16 - PROJ_START)
+            qbloom_s, 2 * PROJ_BASES
         )
+        if sq_density >= 0.5:
+            # saturated (e.g. tiny-W primers whose keys fall outside the
+            # projection window, or degenerate-heavy sets): a front end
+            # that flags half the units costs more than it prunes
+            strict = False
+    if strict:
         # Strict expansion gathers the LOOSE phase table (exact mode), so
         # the per-position expansion probability is bounded by its set
         # fraction; the W >= 14 fallback expands every valid phase of a
