@@ -259,11 +259,12 @@ class MerPCR:
     # (measured, tools/tile_group_sweep.py / unroll_sweep.py; re-measured
     # after the projection-strict front end shrank dense caps 5x: dense
     # 50k-STS at cpos_cap 4928 is 293 Mbp/s dispatched individually vs
-    # 200 grouped, so the threshold tracks BOTH compaction caps and sits
-    # just above the sparse floor). Above it, dispatch tiles individually —
-    # async dispatch still overlaps transfers, and each tile's compute
-    # hides the per-dispatch launch latency.
-    GROUP_POS_CAP_LIMIT = 2048
+    # 200 grouped, and mid-density 10k-STS configs just above the floor
+    # showed the same penalty, so the threshold IS the capacity floor:
+    # only floor-cap configs group). Above it, dispatch tiles
+    # individually — async dispatch still overlaps transfers, and each
+    # tile's compute hides the per-dispatch launch latency.
+    GROUP_POS_CAP_LIMIT = 1024
 
     def _tile_group(self, cfg) -> int:
         big = max(cfg.pos_cap, cfg.cpos_cap) > self.GROUP_POS_CAP_LIMIT
@@ -358,6 +359,17 @@ class MerPCR:
             return ("pend", cfg0, n_tiles, pend, seq, n)
         return ("out", cfg0, n_tiles, out, seq, n)
 
+    @staticmethod
+    def _fetch_outs(pend):
+        """Fetch a list of per-group ScanOut pytrees as ONE ScanOut of
+        host arrays (tiles concatenated along axis 0). One bulk D2H for
+        all groups; jax pipelines the per-array transfers (measured: a
+        device-side pre-concatenate buys nothing over this)."""
+        import jax
+
+        host = jax.device_get(pend)
+        return type(pend[0])(*(np.concatenate(cols) for cols in zip(*host)))
+
     def _collect_record(self, ctx) -> np.ndarray:
         """Phase 2: block on the record's device results and post-process.
 
@@ -369,12 +381,7 @@ class MerPCR:
             return np.zeros((0, 6), dtype=np.int64)
         _, cfg0, n_tiles, payload, seq, n = ctx
         if ctx[0] == "pend":
-            import jax
-
-            host = jax.device_get(payload)  # one bulk D2H for all groups
-            out = type(payload[0])(
-                *(np.concatenate(cols) for cols in zip(*host))
-            )
+            out = self._fetch_outs(payload)
         else:
             out = payload
 
@@ -553,8 +560,7 @@ class MerPCR:
         import jax
 
         _, cfg0, n_items, n_tiles, pend, rescan_ctx = ctx
-        host = jax.device_get(pend)
-        out = type(pend[0])(*(np.concatenate(cols) for cols in zip(*host)))
+        out = self._fetch_outs(pend)
         overflow = (
             (np.asarray(out.c_total) > cfg0.cpos_cap)
             | (np.asarray(out.pos_total) > cfg0.pos_cap)

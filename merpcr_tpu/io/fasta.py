@@ -148,13 +148,23 @@ def record_packed(record: FASTARecord):
     array holds the record's 4-bit codes two-per-byte starting at an even
     position boundary (one trailing pad nibble for odd lengths).
     """
-    from ..native import nibble_pack
-    from ..ops.encoding import NIB_LUT
-
-    seq = record_seq_bytes(record)
     cached = getattr(record, "_packed_cache", None)
-    if cached is not None and cached[0] == len(seq):
+    if cached is not None and cached[0] == len(record.sequence):
         return cached[1]
-    packed = nibble_pack(seq, NIB_LUT)
+    # deferred imports (native ctypes lib): resolved once, then cached on
+    # the module so the per-record fast path above stays import-free —
+    # scaffold FASTA calls this thousands of times per search
+    global _nibble_pack, _NIB_LUT
+    if _nibble_pack is None:
+        from ..native import nibble_pack as _np_
+        from ..ops.encoding import NIB_LUT as _lut_
+
+        _nibble_pack, _NIB_LUT = _np_, _lut_
+    seq = record_seq_bytes(record)
+    packed = _nibble_pack(seq, _NIB_LUT)
     record._packed_cache = (len(seq), packed)
     return packed
+
+
+_nibble_pack = None
+_NIB_LUT = None
