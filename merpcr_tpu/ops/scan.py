@@ -908,118 +908,184 @@ def _scan_tile_impl(
         dmag = (ranks + 1) // 2
         d = jnp.where(ranks % 2 == 1, -dmag, dmag)  # int32[R]
 
-        p2 = ak_rec[:, None] + exp[:, None] - al2[:, None] + d[None, :]
-        struct = p2 + al2[:, None] <= arl[:, None]
-        # k + len_p1 <= p2 is checked for d <= 0 only (engine.py:546, 568;
-        # the hi loop at engine.py:581-583 omits it)
-        struct &= jnp.where(
-            d[None, :] <= 0, p2 >= ak_rec[:, None] + al1[:, None], True
-        )
-        rmask = jnp.where(
-            d[None, :] == 0,
-            True,
-            jnp.where(
-                d[None, :] < 0,
-                dmag[None, :] <= lo[:, None],
-                dmag[None, :] <= hi[:, None],
-            ),
-        )
-
-        # gather the window region once per anchor, then compare all R shifts
         span = 2 * M + cfg.p2_max
         wbase_l = (ak + exp - al2 - M) - tile_start + LEAD
-        NRw = -(-(15 + span // 2 + 1) // 16)
-        if cfg.packed and TB % 32 == 0 and TB >= 32 * NRw:
-            # per-ROW gather cost: anch_cap * NRw rows instead of
-            # anch_cap * span element gathers (default_config sizes the
-            # halos so every real anchor's window fetch stays in-plane)
-            wb = _row_window(tile_bytes, TB, wbase_l, span)  # [ANCH, span]
-        else:
-            jjj = jax.lax.broadcasted_iota(
-                jnp.int32, (cfg.anch_cap, span), 1
-            )
-            wb = plane_at(wbase_l[:, None] + jjj)  # [ANCH, span]
 
-        def _p2_ok_of(sb2):
-            """primer2 match mask over an [ANCH, r, P2MAX] window stack ->
-            [ANCH, r] (mismatch budget + head-X 3' protection,
+        # ---- anchor-CHUNKED window verify ---------------------------------
+        # The window work is O(anchors x R x p2_max) but real anchor
+        # counts are tiny (a few per tile) while anch_cap is provisioned
+        # for bursts, so anchors run through lax.map in chunks of AC with
+        # a cond that skips chunks past anch_total — the verify cost
+        # tracks the ACTUAL anchor count. Nothing [anch_cap, R]-shaped is
+        # ever materialized (at -M 10000 that would be ~5M lanes; p2 is
+        # recomputed arithmetically at emission instead).
+        AC = 32 if cfg.anch_cap % 32 == 0 else cfg.anch_cap
+        n_ac = cfg.anch_cap // AC
+
+        def _p2_ok_of(sb2, aentry_c, al2_c):
+            """primer2 match mask over an [AC, r, P2MAX] window stack ->
+            [AC, r] (mismatch budget + head-X 3' protection,
             engine.py:599-642 '-' strand)."""
             i2c = jax.lax.broadcasted_iota(jnp.int32, sb2.shape, 2)
             if cfg.packed:
                 if cfg.iupac:  # expansion-set intersection, all-arithmetic
                     m2 = (
                         _exp_nib_select(sb2)
-                        & table.p2_exp[aentry][:, None, :]
+                        & table.p2_exp[aentry_c][:, None, :]
                     ) != 0
                 else:
-                    pb2 = table.p2_codes[aentry].astype(jnp.int32)
+                    pb2 = table.p2_codes[aentry_c].astype(jnp.int32)
                     m2 = sb2 == pb2[:, None, :]
             else:
-                pb2 = table.p2_bytes[aentry].astype(jnp.int32)
+                pb2 = table.p2_bytes[aentry_c].astype(jnp.int32)
                 if cfg.iupac:
                     m2 = table.match[sb2 * 256 + pb2[:, None, :]] != 0
                 else:
                     m2 = _byte_fold(sb2) == _byte_fold(pb2)[:, None, :]
-            act2 = i2c < al2[:, None, None]
+            act2 = i2c < al2_c[:, None, None]
             mm2 = act2 & ~m2
             prot2 = i2c < X  # '-': first X bases (engine.py:610-611)
             return ~jnp.any(mm2 & prot2, axis=2) & (
                 jnp.sum(mm2, axis=2) <= NMM
             )
 
-        if R <= 257:
-            # rank offsets are compile-time constants, so each rank's
-            # window is a contiguous STATIC slice of wb (vector loads) —
-            # not a per-element gather over anch_cap * R * p2_max
-            # indices. Only worth it while R stays small (compile time
-            # scales with R).
-            sb2 = jnp.stack(
-                [
-                    jax.lax.slice_in_dim(
-                        wb, M + _rank_d(r), M + _rank_d(r) + cfg.p2_max,
+        def _chunk_hits(ci):
+            """(hit count, chunk-local flat hit indices) for anchors
+            [ci*AC, ci*AC + AC)."""
+
+            def _live():
+                def sl(x):
+                    return jax.lax.dynamic_slice_in_dim(x, ci * AC, AC, 0)
+
+                aentry_c = sl(aentry)
+                al1_c, al2_c = sl(al1), sl(al2)
+                akr_c, arl_c = sl(ak_rec), sl(arl)
+                exp_c, hi_c, lo_c = sl(exp), sl(hi), sl(lo)
+                wbase_c = sl(wbase_l)
+                NRw = -(-(15 + span // 2 + 1) // 16)
+                if cfg.packed and TB % 32 == 0 and TB >= 32 * NRw:
+                    # per-ROW gather cost: AC * NRw rows instead of
+                    # AC * span element gathers (default_config sizes the
+                    # halos so every real anchor's window stays in-plane)
+                    wb = _row_window(tile_bytes, TB, wbase_c, span)
+                else:
+                    jjj = jax.lax.broadcasted_iota(jnp.int32, (AC, span), 1)
+                    wb = plane_at(wbase_c[:, None] + jjj)  # [AC, span]
+
+                if R <= 257:
+                    # rank offsets are compile-time constants, so each
+                    # rank's window is a contiguous STATIC slice of wb
+                    # (vector loads). Only worth it while R stays small
+                    # (compile time scales with R).
+                    sb2 = jnp.stack(
+                        [
+                            jax.lax.slice_in_dim(
+                                wb,
+                                M + _rank_d(r),
+                                M + _rank_d(r) + cfg.p2_max,
+                                axis=1,
+                            )
+                            for r in range(R)
+                        ],
                         axis=1,
+                    )  # [AC, R, P2MAX]
+                    p2_ok = _p2_ok_of(sb2, aentry_c, al2_c)
+                else:
+                    # Large margins: the rank axis runs in CHUNKS of RC
+                    # through ONE nested lax.map body — peak intermediate
+                    # is [AC, RC, P2MAX] and compile time is chunk-count-
+                    # independent. Offsets are a static host-side table.
+                    RC = 512
+                    n_ck = -(-R // RC)
+                    offs = np.zeros((n_ck, RC), dtype=np.int32)
+                    for r in range(n_ck * RC):
+                        # pad ranks past R reuse offset 0 (in-bounds;
+                        # masked by rmask/struct: rank >= R never emits)
+                        offs[r // RC, r % RC] = M + (
+                            _rank_d(r) if r < R else 0
+                        )
+                    offs_d = jnp.asarray(offs)
+                    i2w = jax.lax.broadcasted_iota(
+                        jnp.int32, (RC, cfg.p2_max), 1
                     )
-                    for r in range(R)
-                ],
-                axis=1,
-            )  # [ANCH, R, P2MAX]
-            p2_ok = _p2_ok_of(sb2)
-        else:
-            # Large margins: the full [ANCH, R, P2MAX] stack is too big to
-            # materialize (-M 10000 -> ~2e9 lanes), so the rank axis runs
-            # in CHUNKS of RC through ONE lax.map body — peak intermediate
-            # is [ANCH, RC, P2MAX] and compile time is chunk-count-
-            # independent. Offsets per chunk are a static host-side table.
-            RC = 512
-            n_ck = -(-R // RC)
-            offs = np.zeros((n_ck, RC), dtype=np.int32)
-            for r in range(n_ck * RC):
-                # pad ranks past R reuse offset 0 (in-bounds; masked by
-                # rmask/struct because their rank index >= R never emits)
-                offs[r // RC, r % RC] = M + (_rank_d(r) if r < R else 0)
-            offs_d = jnp.asarray(offs)
-            i2w = jax.lax.broadcasted_iota(jnp.int32, (RC, cfg.p2_max), 1)
 
-            def _chunk(ck):
-                o = offs_d[ck]  # int32[RC]
-                sb2c = wb[:, o[:, None] + i2w]  # [ANCH, RC, P2MAX]
-                return _p2_ok_of(sb2c)  # [ANCH, RC]
+                    def _rchunk(ck):
+                        o = offs_d[ck]  # int32[RC]
+                        sb2c = wb[:, o[:, None] + i2w]  # [AC, RC, P2MAX]
+                        return _p2_ok_of(sb2c, aentry_c, al2_c)
 
-            p2_ok = (
-                jax.lax.map(_chunk, jnp.arange(n_ck, dtype=jnp.int32))
-                .transpose(1, 0, 2)
-                .reshape(cfg.anch_cap, n_ck * RC)[:, :R]
+                    p2_ok = (
+                        jax.lax.map(
+                            _rchunk, jnp.arange(n_ck, dtype=jnp.int32)
+                        )
+                        .transpose(1, 0, 2)
+                        .reshape(AC, n_ck * RC)[:, :R]
+                    )
+
+                p2c = (
+                    akr_c[:, None] + exp_c[:, None] - al2_c[:, None]
+                    + d[None, :]
+                )
+                struct = p2c + al2_c[:, None] <= arl_c[:, None]
+                # k + len_p1 <= p2 is checked for d <= 0 only
+                # (engine.py:546, 568; the hi loop at :581-583 omits it)
+                struct &= jnp.where(
+                    d[None, :] <= 0,
+                    p2c >= akr_c[:, None] + al1_c[:, None],
+                    True,
+                )
+                rmask = jnp.where(
+                    d[None, :] == 0,
+                    True,
+                    jnp.where(
+                        d[None, :] < 0,
+                        dmag[None, :] <= lo_c[:, None],
+                        dmag[None, :] <= hi_c[:, None],
+                    ),
+                )
+                hm = (
+                    sl(avalid)[:, None]
+                    & sl(room)[:, None]
+                    & rmask
+                    & struct
+                    & p2_ok
+                )
+                flat = hm.reshape(-1)  # anchor-major, rank-minor
+                (hloc,) = jnp.nonzero(flat, size=cfg.hit_cap, fill_value=0)
+                return (
+                    jnp.sum(flat.astype(jnp.int32)),
+                    hloc.astype(jnp.int32),
+                )
+
+            return jax.lax.cond(
+                ci * AC < anch_total,
+                _live,
+                lambda: (
+                    jnp.int32(0),
+                    jnp.zeros((cfg.hit_cap,), jnp.int32),
+                ),
             )
 
-        hitmask = avalid[:, None] & room[:, None] & rmask & struct & p2_ok
+        hc, hloc = jax.lax.map(
+            _chunk_hits, jnp.arange(n_ac, dtype=jnp.int32)
+        )  # [n_ac], [n_ac, hit_cap]
+        hit_total = jnp.sum(hc)
 
         # ---- hit emission --------------------------------------------------
-        flat = hitmask.reshape(-1)  # anchor-major, rank-minor == emission
-        (hidx,) = jnp.nonzero(flat, size=cfg.hit_cap, fill_value=0)
-        hit_total = jnp.sum(flat.astype(jnp.int32))
-        a_of = hidx // R
+        # Global slot q belongs to chunk srcc2 with excl <= q < excl+hc;
+        # chunk-ascending + within-chunk flat-ascending == the (anchor,
+        # rank) emission order. Chunks with hc > hit_cap truncate their
+        # hloc, but then hit_total > hit_cap too, so the host discards
+        # the tile and escalates — truncation is never silent.
+        q = jax.lax.broadcasted_iota(jnp.int32, (cfg.hit_cap,), 0)
+        srcc2, hexcl = _rank_invert(hc, cfg.hit_cap)
+        slotc = jnp.clip(q - hexcl, 0, cfg.hit_cap - 1)
+        hidx = hloc[srcc2, slotc]  # chunk-local flat index
+        a_of = srcc2 * AC + hidx // R
         r_of = hidx % R
-        hp2 = p2[a_of, r_of]
+        dmag_of = (r_of + 1) // 2
+        d_of = jnp.where(r_of % 2 == 1, -dmag_of, dmag_of)
+        hp2 = ak_rec[a_of] + exp[a_of] - al2[a_of] + d_of
         return (
             hit_total,
             ak_rec[a_of],
