@@ -57,6 +57,8 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _popcount(a: np.ndarray) -> int:
+    if hasattr(np, "bitwise_count"):  # numpy >= 2.0: vectorized popcount
+        return int(np.bitwise_count(a).sum(dtype=np.int64))
     return int(_POP8[a.view(np.uint8)].sum(dtype=np.int64))
 
 
