@@ -194,3 +194,116 @@ class TestGroupTableTruncation:
             out_full, meta_f = run()
         assert meta_f.q_bits == 28
         assert out_trunc == out_full and out_trunc.count("\n") >= 20
+
+
+class TestUnitProjectionStrict:
+    """First-principles checks of the unit-projection strict table
+    (ops/table._build_strict): key = window bases C..C+12 of a u32 unit,
+    one bit answering all 8 phases."""
+
+    @staticmethod
+    def _key_of(window16, c2bases, gq):
+        """Scan-side key for a unit whose bases are window16 (0..15) +
+        c2bases (16..23): bases C..C+12 LSB-first, low gq bits."""
+        from merpcr_tpu.ops.table import PROJ_UNIT_START as C
+
+        bases = list(window16) + list(c2bases)
+        v = 0
+        for k in range(13):
+            v |= bases[C + k] << (2 * k)
+        return v & ((1 << gq) - 1)
+
+    @staticmethod
+    def _bit(tab, v):
+        return (int(tab[v >> 5]) >> (v & 31)) & 1
+
+    @pytest.mark.unit
+    @pytest.mark.parametrize("wordsize", [11, 14, 16])
+    def test_planted_primer_flagged_at_every_phase(self, wordsize):
+        """A clean window holding primer1 at phase d must set the unit
+        bit, for every d in 0..7 (soundness: no lost candidates)."""
+        res, table, meta = _build(20, wordsize)
+        assert meta.strict
+        tab = np.asarray(table.qbloom_s)
+        gq = meta.sq_bits
+        code = {"A": 0, "C": 1, "G": 2, "T": 3}
+        rng = random.Random(7)
+        for rec in (res.records[0], res.records[3]):
+            p1 = [code[c] for c in rec.primer1]
+            for d in range(8):
+                bases = [rng.randrange(4) for _ in range(24)]
+                bases[d : d + len(p1)] = p1[: 24 - d]
+                key = TestUnitProjectionStrict._key_of(
+                    bases[:16], bases[16:], gq
+                )
+                assert TestUnitProjectionStrict._bit(tab, key) == 1, (
+                    wordsize, d)
+
+    @pytest.mark.unit
+    def test_extension_mismatch_not_flagged(self):
+        """With a single entry pair, flipping ONE projected base of the
+        planted window must clear the bit (the table is exact over the
+        projection, so false positives would mean a build bug)."""
+        from merpcr_tpu.ops.table import PROJ_UNIT_START as C
+
+        rng = random.Random(11)
+        with tempfile.TemporaryDirectory() as td:
+            sp = os.path.join(td, "t.sts")
+            p1 = "".join(rng.choices("ACGT", k=24))
+            p2 = "".join(rng.choices("ACGT", k=24))
+            with open(sp, "w") as fh:
+                fh.write(f"S0\t{p1}\t{p2}\t200\n")
+            res = STSLoader.load_file(sp, 11, 240)
+        table, meta = compile_table(res, 11, False)
+        assert meta.strict
+        tab = np.asarray(table.qbloom_s)
+        gq = meta.sq_bits
+        code = {"A": 0, "C": 1, "G": 2, "T": 3}
+        # both entries (forward p1, reverse p2) at all 8 phases
+        planted = [
+            [code[c] for c in p1],
+            [code[c] for c in p2],
+        ]
+        hits = misses = 0
+        for codes in planted:
+            for d in range(8):
+                bases = [0] * 24
+                bases[d : d + len(codes)] = codes[: 24 - d]
+                key = TestUnitProjectionStrict._key_of(
+                    bases[:16], bases[16:], gq
+                )
+                assert TestUnitProjectionStrict._bit(tab, key) == 1
+                hits += 1
+                # flip one projected base that is primer-covered
+                for flip_at in (C, C + 6, C + 12):
+                    if not (d <= flip_at < d + len(codes)):
+                        continue
+                    b2 = list(bases)
+                    b2[flip_at] ^= 1
+                    k2 = TestUnitProjectionStrict._key_of(
+                        b2[:16], b2[16:], gq
+                    )
+                    if TestUnitProjectionStrict._bit(tab, k2) == 0:
+                        misses += 1
+        # every flip must miss unless it collides with the OTHER
+        # entry/phase patterns — with 16 patterns in 2^26 values,
+        # require at least 90% clean misses
+        assert hits == 16
+        assert misses >= 40
+
+    @pytest.mark.unit
+    def test_pathological_sets_bail_to_loose(self):
+        """Tiny-W short-primer sets saturate the projection and must
+        disable strict mode (loose front end keeps correctness)."""
+        with tempfile.TemporaryDirectory() as td:
+            sp = os.path.join(td, "t.sts")
+            with open(sp, "w") as fh:
+                for i in range(30):
+                    rng = random.Random(i)
+                    p1 = "".join(rng.choices("ACGT", k=4))
+                    p2 = "".join(rng.choices("ACGT", k=4))
+                    fh.write(f"S{i}\t{p1}\t{p2}\t50\n")
+            res = STSLoader.load_file(sp, 3, 240)
+        table, meta = compile_table(res, 3, False)
+        assert not meta.strict
+        assert meta.t16_bits == 0
