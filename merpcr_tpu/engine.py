@@ -95,6 +95,7 @@ class MerPCR:
 
         self._table = None  # DeviceTable
         self._meta = None  # TableMeta
+        self._strict1_tried = False  # lazy N=1 strict variant guard
         # Test hook: force a specific tile length (exercises multi-tile
         # paths on small inputs). None -> TILE_LEN_BUCKETS heuristic.
         self._tile_len_override: Optional[int] = None
@@ -172,6 +173,7 @@ class MerPCR:
         self.sts_records = res.records
         self.max_pcr_size = res.max_pcr_size
         self._table, self._meta = compile_table(res, self.wordsize, bool(self.iupac_mode))
+        self._strict1_tried = False  # lazy N=1 variant (see _base_config)
         return True
 
     def load_fasta_file(self, filename: str) -> List[FASTARecord]:
@@ -183,10 +185,27 @@ class MerPCR:
         self, tile_len: int, packed: bool = True, stream: bool = False
     ) -> ScanConfig:
         m = self._meta
-        # Extension-strict front end is only sound at N == 0 (every active
-        # primer base must match exactly, so extension bases prefilter);
-        # read at search time so N sweeps across searches stay correct.
-        strict = bool(m.strict and self.mismatches == 0 and packed)
+        # The strict front end bakes a mismatch budget into its tables, so
+        # the variant must match the runtime -N exactly: N=0 -> qbloom_s,
+        # N=1 -> qbloom_s1 (ext positions Hamming-1-wildcarded at build),
+        # anything else -> loose. Read at search time so N sweeps across
+        # searches stay correct.
+        if packed and self.mismatches == 0 and m.strict:
+            strict, strict_n = True, 0
+        elif packed and self.mismatches == 1 and m.strict:
+            if not self._strict1_tried:
+                # N=1 variant builds lazily on the first -N 1 search so
+                # N=0 runs never pay for it
+                from .ops.table import build_strict1
+
+                self._table, self._meta = build_strict1(
+                    self._table, m, bool(self.iupac_mode)
+                )
+                self._strict1_tried = True
+                m = self._meta
+            strict, strict_n = (True, 1) if m.strict1 else (False, 0)
+        else:
+            strict, strict_n = False, 0
         return default_config(
             wordsize=self.wordsize,
             margin=self.margin,
@@ -206,13 +225,18 @@ class MerPCR:
             exact_group=m.exact_group,
             n_unique=m.n_unique,
             strict=strict,
-            t16_bits=m.t16_bits if strict else 0,
+            strict_n=strict_n,
+            t16_bits=(
+                (m.t16_1_bits if strict_n == 1 else m.t16_bits)
+                if strict
+                else 0
+            ),
             stream=stream,
             q_density=m.q_density,
-            sq_density=m.sq_density,
+            sq_density=m.sq1_density if strict_n == 1 else m.sq_density,
             sp_density=m.sp_density,
-            t16_real=m.t16_real,
-            t16_fp=m.t16_fp,
+            t16_real=m.t16_1_real if strict_n == 1 else m.t16_real,
+            t16_fp=m.t16_1_fp if strict_n == 1 else m.t16_fp,
         )
 
     @staticmethod

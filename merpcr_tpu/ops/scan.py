@@ -108,6 +108,9 @@ class ScanConfig:
     # hashed 16-base-window gather per expanded position filters candidates
     # to ~real-match density before pair expansion (see table._build_strict).
     strict: bool = False
+    strict_n: int = 0  # mismatch budget baked into the strict tables the
+    #                    scan gathers (0: qbloom_s/t16; 1: qbloom_s1/t16_1
+    #                    — ext positions Hamming-1-wildcarded at build)
     t16_bits: int = 0
     # Stream mode: the tile holds MANY concatenated records separated by
     # dirty-nibble gaps (which the ambiguity masks already exclude, so no
@@ -390,7 +393,10 @@ def _scan_tile_impl(
         # registers from ONE row gather of [c0 c1 c2 a0 a1 a2]
         gstate = jnp.stack([c0, c1, c2, a0, a1, a2], axis=-1)
 
-        qb_tab = table.qbloom_s if cfg.strict else table.qbloom
+        if cfg.strict:
+            qb_tab = table.qbloom_s1 if cfg.strict_n == 1 else table.qbloom_s
+        else:
+            qb_tab = table.qbloom
         # Exact group tables may be host-truncated (table._truncate_group_
         # table); the strict unit-projection table keys window bases
         # C..C+12 (table.PROJ_UNIT_START). Deriving the key width from
@@ -775,7 +781,8 @@ def _scan_tile_impl(
                 ph == 0, Aacg, (Aacg >> sh16) | (Bacg << (32 - sh16))
             )
             bk16 = (v16 * jnp.uint32(0x9E3779B1)) >> (32 - cfg.t16_bits)
-            w16 = table.t16[(bk16 >> 5).astype(jnp.int32)]
+            t16_tab = table.t16_1 if cfg.strict_n == 1 else table.t16
+            w16 = t16_tab[(bk16 >> 5).astype(jnp.int32)]
             keep16 = (((w16 >> (bk16 & 31)) & 1) == 1) | (va16 != 0)
             pos_keep = pos_valid & keep16
         else:
@@ -1217,6 +1224,7 @@ def default_config(
     exact_group: bool = False,
     n_unique: int = 0,
     strict: bool = False,
+    strict_n: int = 0,
     t16_bits: int = 0,
     stream: bool = False,
     q_density: float = -1.0,
@@ -1339,6 +1347,7 @@ def default_config(
         qbloom_bits=qbloom_bits,
         exact_group=exact_group,
         strict=strict,
+        strict_n=strict_n if strict else 0,
         t16_bits=t16_bits,
         stream=stream,
         tile_len=tile_len,

@@ -50,7 +50,7 @@ GOLD = np.uint32(0x9E3779B1)
 # ORs of the LSB-first bit plane) while the set-bit density stays low —
 # a sound over-approximation (the exact phase table still removes false
 # phases at expand; false flags only cost compact-stage lanes).
-GQ_TARGET_BITS = 26  # 2^26 bits = 8 MB
+GQ_TARGET_BITS = 26  # 2^26 bits = 8 MB (2 MB measured no faster in production)
 GQ_MAX_ADDED_DENSITY = 0.02  # stop folding when a fold would add more
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -112,6 +112,12 @@ def _build_strict(
     wordsize: int,
     stride: int,
     iupac_mode: bool,
+    n_mm: int = 0,  # mismatch budget baked into the tables (0 or 1):
+    #                 at n_mm=1 every EXTENSION position (never a W-mer
+    #                 position — the scan's hash lookup is exact at any
+    #                 -N) is additionally enumerated as a wildcard, so a
+    #                 candidate with <= 1 primer1 mismatch still flags
+    max_ins: int = 1 << 25,  # insert guard: bail (strict off) above this
 ):
     """Unit-projection strict front-end tables, valid only at mismatches==0.
 
@@ -242,11 +248,7 @@ def _build_strict(
     # constrained-prefix values scatter into a 4^s-bit class block, which
     # then tiles (one broadcast OR) across the whole table — O(table) per
     # suffix class instead of O(4^suffix) per entry.
-    n_ins = 0
-    plans = []
-    for d in range(8):
-        t0 = C - d  # first primer offset keyed by the projection
-        sub = amask[:, t0 : t0 + PROJ_BASES]  # (E, 13)
+    def _plan_of(sub):
         cnt = POPC4[sub]
         drop = (cnt == 0).any(axis=1)
         free_sfx = np.minimum.accumulate((cnt == 4)[:, ::-1], axis=1)[
@@ -256,12 +258,34 @@ def _build_strict(
         pcnt = np.where(free_sfx, 1, cnt)
         prod = pcnt.clip(1).prod(axis=1)  # true prefix enumerations
         prod = np.where(drop, 0, prod)
-        plans.append((sub, pcnt, prod, s))
-        n_ins += int(prod.sum())
+        return (sub, pcnt, prod, s)
+
+    n_ins = 0
+    plans = []
+    for d in range(8):
+        t0 = C - d  # first primer offset keyed by the projection
+        variants = [amask[:, t0 : t0 + PROJ_BASES]]  # (E, 13)
+        if n_mm >= 1:
+            # one-mismatch union: each EXTENSION window position (primer
+            # offset >= W) in turn becomes a wildcard
+            for k in range(PROJ_BASES):
+                if t0 + k >= wordsize:
+                    sv = variants[0].copy()
+                    sv[:, k] = 15
+                    variants.append(sv)
+        for sub in variants:
+            plan = _plan_of(sub)
+            plans.append(plan)
+            n_ins += int(plan[2].sum())
+            if n_ins > max_ins:
+                break
+        if n_ins > max_ins:
+            break
     # Bail (strict disabled, loose front end) when the set is pathological
-    # (saturated degenerate primers): the insert count — and with it both
-    # the host build time and the table density — is past usefulness.
-    if n_ins > (1 << 25):
+    # (saturated degenerate primers) or the n_mm=1 wildcard union would
+    # be too dense: the insert count — and with it both the host build
+    # time and the table density — is past usefulness.
+    if n_ins > max_ins:
         return None, np.zeros(1, dtype=np.uint32), 0, 0.0
 
     blocks: dict = {}  # suffix class s -> 4^s-bit prefix bitmap
@@ -281,8 +305,7 @@ def _build_strict(
             np.uint32(1) << (v & 31).astype(np.uint32),
         )
 
-    for d in range(8):
-        sub, cnt, prod, s = plans[d]
+    for sub, cnt, prod, s in plans:
         # radix prefix products: digit k of index m = (m // rp[:, k]) % cnt
         rp = np.ones((E, PROJ_BASES), dtype=np.int64)
         np.cumprod(cnt[:, :-1], axis=1, out=rp[:, 1:])
@@ -318,36 +341,54 @@ def _build_strict(
 
     # ---- 16-base position filter ------------------------------------------
     nb = 16 - wordsize  # extension bases past the W-mer inside the window
-    drop16, fr16 = _fixed_run(ncode[:, wordsize:16])
-    n16 = int(((1 << (2 * (nb - fr16[~drop16]))).astype(np.int64)).sum())
+    ext_nc = ncode[:, wordsize:16]
+    variants16 = [ext_nc]
+    if n_mm >= 1:
+        # one-mismatch union at position granularity: each ext position in
+        # turn becomes free (over-approximates Hamming-1 via the fixed-run
+        # free tail — sound, slightly denser)
+        for wc in range(nb):
+            v = ext_nc.copy()
+            v[:, wc] = 4
+            variants16.append(v)
+    n16 = 0
+    plans16 = []
+    for v in variants16:
+        drop16, fr16 = _fixed_run(v)
+        plans16.append((drop16, fr16))
+        n16 += int(((1 << (2 * (nb - fr16[~drop16]))).astype(np.int64)).sum())
     if 0 < n16 <= T16_MAX_INSERTS:
         t16_bits = int(np.clip(int(np.ceil(np.log2(max(n16, 2)))) + 10, 16, 27))
         t16 = np.zeros((1 << t16_bits) // 32, dtype=np.uint32)
+        # pvE is shared across variants: a variant's prefix values only
+        # read codes below its fixed run, which ends at or before the
+        # wildcarded position
         pvE = np.zeros((E, nb + 1), dtype=np.uint64)
         for k in range(nb):
             pvE[:, k + 1] = pvE[:, k] | (
                 code1[:, wordsize + k] << np.uint64(2 * k)
             )
-        for f in range(nb + 1):
-            sel = np.flatnonzero(~drop16 & (fr16 == f))
-            if not len(sel):
-                continue
-            base = ehash[sel] | (pvE[sel, f] << np.uint64(2 * wordsize))
-            nfree = 1 << (2 * (nb - f))
-            free = np.arange(nfree, dtype=np.uint64) << np.uint64(
-                2 * (wordsize + f)
-            )
-            step = max(1, (1 << 22) // nfree)
-            for a in range(0, len(sel), step):
-                v = (base[None, a : a + step] | free[:, None]).reshape(-1)
-                bk = ((v.astype(np.uint32) * GOLD) >> (32 - t16_bits)).astype(
-                    np.uint64
+        for drop16, fr16 in plans16:
+            for f in range(nb + 1):
+                sel = np.flatnonzero(~drop16 & (fr16 == f))
+                if not len(sel):
+                    continue
+                base = ehash[sel] | (pvE[sel, f] << np.uint64(2 * wordsize))
+                nfree = 1 << (2 * (nb - f))
+                free = np.arange(nfree, dtype=np.uint64) << np.uint64(
+                    2 * (wordsize + f)
                 )
-                np.bitwise_or.at(
-                    t16,
-                    (bk >> 5).astype(np.int64),
-                    np.uint32(1) << (bk & 31).astype(np.uint32),
-                )
+                step = max(1, (1 << 22) // nfree)
+                for a in range(0, len(sel), step):
+                    v = (base[None, a : a + step] | free[:, None]).reshape(-1)
+                    bk = (
+                        (v.astype(np.uint32) * GOLD) >> (32 - t16_bits)
+                    ).astype(np.uint64)
+                    np.bitwise_or.at(
+                        t16,
+                        (bk >> 5).astype(np.int64),
+                        np.uint32(1) << (bk & 31).astype(np.uint32),
+                    )
     else:
         t16_bits = 0
         t16 = np.zeros(1, dtype=np.uint32)
@@ -369,6 +410,10 @@ class DeviceTable(NamedTuple):
     # loose (exact) ``ptab`` either way.
     qbloom_s: jnp.ndarray  # uint32: strict group any-phase bits | [1]
     t16: jnp.ndarray  # uint32[2^t16_bits / 32] | [1]
+    # N=1 variants (extension positions Hamming-1-wildcarded; built only
+    # when the insert estimate stays small — see compile_table)
+    qbloom_s1: jnp.ndarray  # uint32 | [1]
+    t16_1: jnp.ndarray  # uint32 | [1]
     uhash: jnp.ndarray  # uint32[U]      sorted unique hashes
     ustart: jnp.ndarray  # int32[U+1]    CSR offsets into entry arrays
     # dense CSR (W <= 12): bucket_start[4^W + 1] — exact lookup is ONE
@@ -426,6 +471,13 @@ class TableMeta:
     lead: int  # max hash_offset over entries (tile left halo)
     max_pcr_size: int
     entry_to_record: np.ndarray  # int32[E]: device entry idx -> STSRecord idx
+    # N=1 strict variant (built only when its insert estimate stays small;
+    # the engine arms it when the runtime -N is exactly 1)
+    strict1: bool = False
+    sq1_density: float = 1.0
+    t16_1_bits: int = 0
+    t16_1_real: float = 0.0
+    t16_1_fp: float = 1.0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -711,6 +763,18 @@ def compile_table(
         sq_bits = q_bits
         sq_density = sp_density = t16_real = t16_fp = 1.0
 
+    # The strict N=1 variant (extension positions Hamming-1-wildcarded) is
+    # built LAZILY by ``build_strict1`` on the first -N 1 search — most
+    # runs are N=0 and should not pay its build; meta.strict1 stays False
+    # until then. Dummies here keep the DeviceTable pytree structure
+    # stable so jitted programs never retrace on the N=0 path.
+    strict1 = False
+    qbloom_s1 = np.zeros(1, dtype=np.uint32)
+    t16_1 = np.zeros(1, dtype=np.uint32)
+    t16_1_bits = 0
+    sq1_density = t16_1_real = 0.0
+    t16_1_fp = 1.0
+
     table = DeviceTable(
         scode=jnp.asarray(SCODE),
         match=jnp.asarray(match_matrix(iupac_mode).reshape(-1)),
@@ -719,6 +783,8 @@ def compile_table(
         ptab=jnp.asarray(ptab),
         qbloom_s=jnp.asarray(qbloom_s),
         t16=jnp.asarray(t16),
+        qbloom_s1=jnp.asarray(qbloom_s1),
+        t16_1=jnp.asarray(t16_1),
         uhash=jnp.asarray(uhash_dev),
         ustart=jnp.asarray(ustart_dev),
         bstart=jnp.asarray(bstart),
@@ -766,5 +832,72 @@ def compile_table(
         lead=int(res.hash_offsets.max()) if E else 0,
         max_pcr_size=res.max_pcr_size,
         entry_to_record=order.astype(np.int32),
+        strict1=strict1,
+        sq1_density=sq1_density,
+        t16_1_bits=t16_1_bits,
+        t16_1_real=t16_1_real,
+        t16_1_fp=t16_1_fp,
     )
     return table, meta
+
+
+def build_strict1(
+    table: DeviceTable, meta: TableMeta, iupac_mode: bool
+) -> tuple[DeviceTable, TableMeta]:
+    """Build the N=1 strict variant on demand (first ``-N 1`` search).
+
+    Same construction as the N=0 tables but with every extension position
+    Hamming-1-wildcarded (_build_strict n_mm=1); the tighter insert guard
+    keeps the build fast and skips sets where the wildcard union would
+    saturate (those keep the loose front end at -N 1). Inputs are
+    recovered from the compiled table's own entry arrays, so no loader
+    state needs to be retained. Mutates ``meta`` in place and returns the
+    (possibly updated) table; meta.strict1 reports whether the variant
+    armed. Idempotent via meta.strict1 / the caller's once-guard.
+    """
+    E = meta.n_entries
+    if E == 0 or not meta.strict:
+        return table, meta
+    p1b = np.asarray(table.p1_bytes)[:E]
+    em = np.asarray(table.emeta)[:E]
+    hoff = em[:, 0].astype(np.int64)
+    p1len = em[:, 1]
+    codes = PRIMER_CODE_LUT[p1b].astype(np.uint64)
+    ehash = np.zeros(E, dtype=np.uint64)
+    rows = np.arange(E)
+    for j in range(meta.wordsize):  # W-mer bytes are clean ACGT (codes 0-3)
+        ehash |= codes[rows, hoff + j] << np.uint64(2 * j)
+    qbloom_s1, t16_1, t16_1_bits, t16_1_real = _build_strict(
+        ehash,
+        em[:, 0],
+        p1len,
+        p1b,
+        meta.wordsize,
+        meta.stride,
+        iupac_mode,
+        n_mm=1,
+        max_ins=1 << 22,
+    )
+    strict1 = qbloom_s1 is not None
+    if strict1:
+        qbloom_s1, _bits, sq1_density = _truncate_group_table(
+            qbloom_s1, 2 * PROJ_BASES
+        )
+        if sq1_density >= 0.5:
+            strict1 = False
+    if not strict1:
+        meta.strict1 = False
+        return table, meta
+    meta.strict1 = True
+    meta.sq1_density = sq1_density
+    meta.t16_1_bits = t16_1_bits
+    meta.t16_1_real = t16_1_real
+    meta.t16_1_fp = (
+        _popcount(t16_1) / float(1 << t16_1_bits) if t16_1_bits else 1.0
+    )
+    return (
+        table._replace(
+            qbloom_s1=jnp.asarray(qbloom_s1), t16_1=jnp.asarray(t16_1)
+        ),
+        meta,
+    )

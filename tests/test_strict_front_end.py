@@ -234,3 +234,37 @@ def test_t16_hash_collision_density(tmp_path):
     ref = _ref_out(sts, fa)
     assert ref.count("\n") >= 50  # really a dense-hit corpus
     assert _tpu_out(sts, fa) == ref
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_strict_n1_vs_loose_ab(tmp_path, seed):
+    """A/B at -N 1: the Hamming-1 strict front end (qbloom_s1/t16_1) must
+    produce byte-identical output vs the same engine with strict forced
+    off — the wildcard union may only prune work the verify rejects."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"),
+    )
+    from difffuzz import gen_case
+
+    rng = random.Random(1_700_000 + seed)
+    sts_text, fa_text, params = gen_case(rng, seed)
+    params = dict(params, mismatches=1)
+    sts, fa = _write(tmp_path, sts_text, fa_text)
+    eng = merpcr_tpu.MerPCR(**params)
+    if not eng.load_sts_file(sts):
+        pytest.skip("case generated no loadable STS records")
+    recs = eng.load_fasta_file(fa)
+    strict_out = run_search(eng, recs)
+    # strict1 builds lazily during the first -N 1 search
+    if not eng._meta.strict1:
+        pytest.skip("strict1 not armed for this set")
+    eng_loose = merpcr_tpu.MerPCR(**params)
+    assert eng_loose.load_sts_file(sts)
+    eng_loose._meta.strict = False
+    eng_loose._meta.strict1 = False
+    assert run_search(eng_loose, recs) == strict_out, (seed, params)
