@@ -178,6 +178,7 @@ MATRIX = [
     ("sparse_100", dict(nsts=100)),
     ("sparse_1k", dict(nsts=1000)),
     ("sparse_10k", dict(nsts=10000)),
+    ("chr1_250mbp", dict(mbp=250.0, nsts=1000)),
     ("dense_50k", dict(nsts=50000)),
     ("planted_200", dict(nsts=1000, planted=200)),
     ("iupac", dict(nsts=1000, iupac=1)),

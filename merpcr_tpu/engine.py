@@ -278,16 +278,15 @@ class MerPCR:
     # last group short-circuit via lax.cond (~free).
     TILE_GROUP = 8
 
-    # lax.map's per-iteration machinery costs ~3.2 ms/tile when the scan
-    # body's internal buffers are large, but is ~free at sparse caps
-    # (measured, tools/tile_group_sweep.py / unroll_sweep.py; re-measured
-    # after the projection-strict front end shrank dense caps 5x: dense
-    # 50k-STS at cpos_cap 4928 is 293 Mbp/s dispatched individually vs
-    # 200 grouped, and mid-density 10k-STS configs just above the floor
-    # showed the same penalty, so the threshold IS the capacity floor:
-    # only floor-cap configs group). Above it, dispatch tiles
-    # individually — async dispatch still overlaps transfers, and each
-    # tile's compute hides the per-dispatch launch latency.
+    # lax.map's per-iteration machinery costs ~1-3 ms/tile once the scan
+    # body's internal buffers grow past the floor caps, and is ~free at
+    # floor caps — so only floor-cap configs group. Measured in FRESH
+    # processes (one engine per process, like the CLI): dense 50k at
+    # 47 Mbp 394 (G=1) vs 302 (G=8) Mbp/s, at 250 Mbp 479 vs 360; sparse
+    # ties either way (463/467 at 47 Mbp, 607/617 at 250 Mbp). Beware:
+    # measuring this with several engines in ONE process is misleading —
+    # later engines' G=1 dispatch degrades up to 2x (accumulated device
+    # state), which round 3 briefly mistook for a policy signal.
     GROUP_POS_CAP_LIMIT = 1024
 
     def _tile_group(self, cfg) -> int:

@@ -192,6 +192,13 @@ def main():
             else:
                 nl = len((ref_out or "").splitlines())
                 print(f"case {case}: OK ({nl} hits)")
+        if case % 10 == 9:
+            # long runs compile hundreds of fresh XLA executables; clear
+            # periodically or the process crosses vm.max_map_count and
+            # dies with LLVM "Cannot allocate memory" (~case 85 observed)
+            import jax
+
+            jax.clear_caches()
     print(f"\n{n_cases - fails}/{n_cases} cases identical")
     sys.exit(1 if fails else 0)
 

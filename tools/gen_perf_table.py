@@ -14,13 +14,14 @@ ROWS = {
     "sparse_100": ("100 STS", "~3.2 Mbp/s"),
     "sparse_1k": ("1,000 STS", "3.2 Mbp/s"),
     "sparse_10k": ("10,000 STS", "~3 Mbp/s"),
+    "chr1_250mbp": ("250 Mbp genome (chr1 scale), 1,000 STS", "3.2 Mbp/s"),
     "dense_50k": ("50,000 STS", "2.3 Mbp/s"),
     "planted_200": ("1,000 STS, 200 real hits", "~3 Mbp/s"),
     "iupac": ("1,000 STS, IUPAC mode (-I 1)", "~3 Mbp/s"),
     "mismatch_1": ("1,000 STS, 1 mismatch (-N 1)", "~3 Mbp/s"),
     "scaffolds_3000": ("3,000 x 10 kb scaffolds (30 Mbp)", "~3 Mbp/s"),
-    "w14_multhash": ("1,000 STS, W=14 (hashed front end)", "~3 Mbp/s"),
-    "w16_multhash": ("1,000 STS, W=16 (hashed front end)", "~3 Mbp/s"),
+    "w14_multhash": ("1,000 STS, W=14", "~3 Mbp/s"),
+    "w16_multhash": ("1,000 STS, W=16", "~3 Mbp/s"),
     "margin_1000": ("1,000 STS, -M 1000, 100 hits", "~3 Mbp/s"),
     "margin_10000": ("1,000 STS, -M 10000, 100 hits", "~3 Mbp/s"),
 }

@@ -104,6 +104,11 @@ stages = (
     if os.environ.get("PROFILE_STAGES")
     else ALL_STAGES
 )
+def _floor(tb):
+    return jnp.sum(tb.astype(jnp.int32))
+
+
+timeit("(harness floor)", _floor)
 prev = 0.0
 for st in stages:
     dt = timeit(st, staged(st))
