@@ -1002,7 +1002,10 @@ def _scan_tile_impl(
                     # through ONE nested lax.map body — peak intermediate
                     # is [AC, RC, P2MAX] and compile time is chunk-count-
                     # independent. Offsets are a static host-side table.
-                    RC = 512
+                    RC = 2048  # peak intermediate [AC, RC, P2MAX] ~1.6M
+                    #            lanes; fewer chunks matter more than the
+                    #            chunk size (lax.map per-iteration cost:
+                    #            RC=512 at -M 10000 paid ~40 iterations)
                     n_ck = -(-R // RC)
                     offs = np.zeros((n_ck, RC), dtype=np.int32)
                     for r in range(n_ck * RC):
