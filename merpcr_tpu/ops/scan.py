@@ -675,12 +675,20 @@ def _scan_tile_impl(
             nbv = nbv | (ok_d.astype(jnp.uint32) << d)
         if cfg.exact_group:
             NPS = 5 - (S_.bit_length() - 1)  # log2(32 / S)
+            # ptab is build-time FOLDED (top span base(s) dropped — only
+            # the last phase's key touches them, so only its bits
+            # over-approximate); the table's own trace-time shape says
+            # how many span bases survived, making a mismatch impossible
+            pf_bits = (int(table.ptab.shape[0]) * 32 // S_).bit_length() - 1
+            m2pf = jnp.uint32(((1 << min(pf_bits, 32)) - 1) & 0xFFFFFFFF)
 
             def ptab_bits(keyc):
-                """Exact phase bits for one stride-group span key."""
-                wordc = table.ptab[(keyc >> NPS).astype(jnp.int32)]
+                """Phase bits for one stride-group span key (exact for
+                all but the last phase; see table.py ptab notes)."""
+                kf = keyc & m2pf
+                wordc = table.ptab[(kf >> NPS).astype(jnp.int32)]
                 return (
-                    wordc >> ((keyc & ((1 << NPS) - 1)) * jnp.uint32(S_))
+                    wordc >> ((kf & ((1 << NPS) - 1)) * jnp.uint32(S_))
                 ) & jnp.uint32((1 << S_) - 1)
 
             if cfg.strict:

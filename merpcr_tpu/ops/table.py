@@ -529,12 +529,18 @@ def compile_table(
     #   than the phase table, and gather throughput on this hardware
     #   degrades with table size (tools/MICROBENCH.md #2), so the
     #   hot stage stays on the small one. Zero false positives.
-    # * ``ptab`` — `stride` bits per span value: bit d set iff bases
-    #   d..d+W-1 of the span string are a bucket key. Gathered ONLY at
-    #   compacted-candidate granularity by the expand stage, where it
-    #   resolves WHICH phases anchor candidates without per-phase CSR
-    #   probes. Layout: span value v -> word v >> log2(32/S), bit
-    #   S*(v % (32/S)) + d.
+    # * ``ptab`` — `stride` bits per FOLDED span value: bit d set iff
+    #   bases d..d+W-1 of some span string with these low span-1 bases
+    #   are a bucket key. The top span base is folded away AT BUILD
+    #   (ptab is 4x smaller — 32 MB instead of 128 at W=11 — and builds
+    #   with 4x less memory traffic); only the LAST phase's key touches
+    #   that base, so only its bits over-approximate (4x denser), which
+    #   merely expands a few extra positions the exact CSR then rejects.
+    #   Gathered ONLY at compacted-candidate granularity by the expand
+    #   stage, where it resolves WHICH phases anchor candidates without
+    #   per-phase CSR probes. Layout: folded value vf = v mod 4^(span-1)
+    #   -> word vf >> log2(32/S), bit S*(vf % (32/S)) + d; the scan
+    #   derives the folded width from the table's shape.
     #
     # For larger W a mult-hashed bloom over the first KB = min(16, span)
     # bases replaces qbloom (over-approximating; the exact CSR removes
@@ -558,11 +564,12 @@ def compile_table(
         nsuf_bases = span - wordsize
         NPS = 5 - (stride.bit_length() - 1)  # log2(32 / stride)
         n_ins = stride * (4**nsuf_bases) * len(uhash)
+        nspan_f = nspan // 4  # ptab folds its top span base at build
         if n_ins <= (1 << 21):
             # sparse sets: scatter both layouts directly (never touches
             # the whole 4^span plane, so this path is ~milliseconds)
             qbloom = np.zeros(nspan // 32, dtype=np.uint32)
-            ptab = np.zeros(nspan * stride // 32, dtype=np.uint32)
+            ptab = np.zeros(nspan_f * stride // 32, dtype=np.uint32)
             for d in range(stride):
                 npre = 1 << (2 * d)
                 nsuf = 1 << (2 * (nsuf_bases - d))
@@ -579,12 +586,13 @@ def compile_table(
                     (v >> 5).astype(np.int64),
                     np.uint32(1) << (v & 31).astype(np.uint32),
                 )
+                vf = v & np.uint64(nspan_f - 1)
                 np.bitwise_or.at(
                     ptab,
-                    (v >> NPS).astype(np.int64),
+                    (vf >> NPS).astype(np.int64),
                     np.uint32(1)
                     << (
-                        (v & ((1 << NPS) - 1)).astype(np.uint32)
+                        (vf & ((1 << NPS) - 1)).astype(np.uint32)
                         * np.uint32(stride)
                         + np.uint32(d)
                     ),
@@ -607,18 +615,27 @@ def compile_table(
             mb[uh64] = True
             first = np.packbits(mb, bitorder="little")  # phase-0, first copy
             any_pb = np.zeros(nspan // 8, dtype=np.uint8)
-            ptab = np.zeros(nspan * stride // 32, dtype=np.uint32)
+            ptab = np.zeros(nspan_f * stride // 32, dtype=np.uint32)
             for d in range(stride):
                 if d > 0:
                     first = lutr4[first].view(np.uint8)  # repeat bits x4
                 rep = nspan // (len(first) * 8)
                 any_pb.reshape(rep, -1)[:] |= first[None, :]
-                sp = lut[first] << d  # u32/byte: 8 values' bit-d, spread
+                # folded ptab plane: phases whose key avoids the dropped
+                # top base just tile 4x less; the LAST phase's key loses
+                # its top base (OR-fold of the repeated key bitmap)
+                if len(first) * 8 <= nspan_f:
+                    pf = first
+                else:  # d == stride-1: key occupies the dropped base
+                    q4 = first.reshape(4, -1)
+                    pf = (q4[0] | q4[1]) | (q4[2] | q4[3])
+                repf = nspan_f // (len(pf) * 8)
+                sp = lut[pf] << d  # u32/byte: 8 values' bit-d, spread
                 if stride == 4:
-                    ptab.reshape(rep, -1)[:] |= sp[None, :]
+                    ptab.reshape(repf, -1)[:] |= sp[None, :]
                 else:  # stride == 2: two bytes per output word
                     spw = sp[0::2] | (sp[1::2] << 16)
-                    ptab.reshape(rep, -1)[:] |= spw[None, :]
+                    ptab.reshape(repf, -1)[:] |= spw[None, :]
             qbloom = any_pb.view(np.uint32)
     else:
         # mult-hashed fallback (W >= 14): key = first KB bases of the group
@@ -749,7 +766,7 @@ def compile_table(
         # fraction; the W >= 14 fallback expands every valid phase of a
         # flagged group (sp_density 1.0 keeps the cap model conservative).
         sp_density = (
-            _popcount(ptab) / float((1 << (2 * span)) * stride)
+            _popcount(ptab) / float(ptab.size * 32)
             if exact_group
             else 1.0
         )
