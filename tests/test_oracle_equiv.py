@@ -124,3 +124,57 @@ def test_extreme_params_identical(oracle_pkg, tmp_path):
         tpu_out = _run(merpcr_tpu, str(sts), str(fa), params)
         assert ref_out == tpu_out, params
         assert ref_out  # non-degenerate: at least one hit somewhere
+
+
+def test_anchor_chunk_boundary_ordering(oracle_pkg, tmp_path):
+    """~90 anchors in one tile cross the margin stage's 32-anchor chunk
+    boundaries (ops/scan.py anchor-chunked verify); several of them carry
+    MULTIPLE margin-window products (multi-rank emission). The assembled
+    emission order must stay byte-identical to the reference."""
+    import random
+
+    rng = random.Random(99)
+    p1 = "GGCTCAGAGTATTTGGGATGCA"
+    p2 = "CTCTTGGAATCCTATCTCACTG"
+    n = 80_000
+    g = list("".join(rng.choices("ACGT", k=n)))
+    for i in range(90):
+        s = 40 + i * 850
+        g[s : s + len(p1)] = p1
+        g[s + 200 - len(p2) : s + 200] = p2
+        if i % 7 == 0:  # extra product in the same margin window
+            g[s + 230 - len(p2) : s + 230] = p2
+    sts = tmp_path / "t.sts"
+    fa = tmp_path / "t.fa"
+    sts.write_text(f"S1\t{p1}\t{p2}\t200\n")
+    fa.write_text(">g\n" + "".join(g) + "\n")
+    params = dict(margin=50)
+    ref_out = _run(oracle_pkg, str(sts), str(fa), params)
+    tpu_out = _run(merpcr_tpu, str(sts), str(fa), params)
+    assert ref_out.count("\n") > 95  # 90 plants + extra-window products
+    assert ref_out == tpu_out
+
+
+def test_hit_overflow_escalates_byte_equal(oracle_pkg, tmp_path):
+    """> hit_cap (256) hits inside ONE tile: per-chunk hit buffers
+    truncate, the tile overflows, and the escalation rescan must emit the
+    full byte-identical hit list (capacity invariant #4)."""
+    import random
+
+    rng = random.Random(7)
+    p1 = "GGCTCAGAGTATTTGGGATGCA"
+    p2 = "CTCTTGGAATCCTATCTCACTG"
+    n = 120_000
+    g = list("".join(rng.choices("ACGT", k=n)))
+    for i in range(320):
+        s = 11 + i * 370
+        g[s : s + len(p1)] = p1
+        g[s + 200 - len(p2) : s + 200] = p2
+    sts = tmp_path / "t.sts"
+    fa = tmp_path / "t.fa"
+    sts.write_text(f"S1\t{p1}\t{p2}\t200\n")
+    fa.write_text(">g\n" + "".join(g) + "\n")
+    ref_out = _run(oracle_pkg, str(sts), str(fa), {})
+    tpu_out = _run(merpcr_tpu, str(sts), str(fa), {})
+    assert ref_out.count("\n") >= 300
+    assert ref_out == tpu_out
