@@ -211,11 +211,41 @@ def _encode_codes(tile_bytes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(is_letter, code, AMBIG)
 
 
+def _blocked_scan(x: jnp.ndarray, op, unit):
+    """Inclusive prefix scan via log-shifted ``op`` steps on a 2-D
+    relayout — NO lax scan primitives anywhere (1-D cumsum/cummax carry a
+    ~0.2 ms fixed lowering cost on this chip regardless of size,
+    tools/MICROBENCH.md #4, and the pipeline pays several per tile).
+
+    Minor-axis scan by padded shifts, then the row totals scan the same
+    way along the tiny major axis.
+    """
+    n = x.shape[0]
+    L = 128
+    if n % L:  # callers use power-of-two >= 1024 sizes; fall back safely
+        return jax.lax.associative_scan(op, x)
+    x2 = x.reshape(-1, L)
+    k = 1
+    while k < L:
+        sh = jnp.pad(x2, ((0, 0), (k, 0)), constant_values=unit)[:, :L]
+        x2 = op(x2, sh)
+        k *= 2
+    rows = x2.shape[0]
+    tot = x2[:, -1]
+    k = 1
+    while k < rows:
+        sh = jnp.pad(tot, (k, 0), constant_values=unit)[:rows]
+        tot = op(tot, sh)
+        k *= 2
+    pre = jnp.pad(tot, (1, 0), constant_values=unit)[:rows]
+    return op(x2, pre[:, None]).reshape(n)
+
+
 def _rank_invert(cnt: jnp.ndarray, cap_out: int):
-    """Invert a monotone rank map with one scatter-max + cummax instead of
-    a log-depth ``searchsorted`` (TPU gathers cost ~per-element, so
-    searchsorted over ``cap_out`` lanes pays log2 gathers per lane; this
-    pays ~2 memory ops per lane).
+    """Invert a monotone rank map with one scatter-max + blocked cummax
+    instead of a log-depth ``searchsorted`` (TPU gathers cost
+    ~per-element, so searchsorted over ``cap_out`` lanes pays log2
+    gathers per lane; this pays ~2 memory ops per lane).
 
     ``cnt``: int32[S] non-negative counts per source. Output slot q in
     [0, sum(cnt)) belongs to the source i with
@@ -224,7 +254,7 @@ def _rank_invert(cnt: jnp.ndarray, cap_out: int):
     q >= sum(cnt) are garbage (callers mask by total).
     """
     S = cnt.shape[0]
-    csum = jnp.cumsum(cnt)
+    csum = _blocked_scan(cnt, jnp.add, 0)
     excl = csum - cnt
     # Scatter i+1 at excl[i] for every source with cnt>0 (their excl values
     # are strictly increasing, hence unique); empty sources go to the
@@ -232,7 +262,9 @@ def _rank_invert(cnt: jnp.ndarray, cap_out: int):
     tgt = jnp.where(cnt > 0, excl, cap_out)
     ids = jnp.arange(1, S + 1, dtype=jnp.int32)
     seed = jnp.zeros((cap_out,), jnp.int32).at[tgt].max(ids, mode="drop")
-    src = jnp.clip(jax.lax.cummax(seed, axis=0) - 1, 0, S - 1)
+    src = jnp.clip(
+        _blocked_scan(seed, jnp.maximum, -(1 << 31)) - 1, 0, S - 1
+    )
     return src, excl[src]
 
 
