@@ -458,13 +458,33 @@ def _scan_tile_impl(
             vq = (vfull & m2q) == 0
             qword = qb_tab[(bk >> 5).astype(jnp.int32)]
             hitu = _bit_at(qword, bk & 31) == 1
-            pvU = jnp.zeros((QP,), jnp.bool_)
-            for d in range(8):  # any-phase W-mer validity over the unit
-                if d == 0:
-                    va = Wa & m2w
-                else:
-                    va = ((Wa >> (2 * d)) | (a2 << (32 - 2 * d))) & m2w
-                pvU = pvU | ((va == 0) & (rlane * 8 + d < n_scan))
+            # Any-phase W-mer validity via an exact-width OR-smear: smear
+            # the dirty 2-bit fields left over exactly W bases (binary
+            # decomposition of W; bits flow in from the a2 register at
+            # each step), so field d of the result is nonzero iff window
+            # d..d+W-1 contains a dirty base. ~12 VPU ops instead of an
+            # 8-iteration per-phase loop (the decode stage is op-count-
+            # bound). Per-phase scan bounds are enforced exactly by the
+            # nbv masks downstream; here a whole-unit bound suffices
+            # (over-flagging the tile's tail unit only costs one
+            # compacted lane).
+            sm = {1: (Wa, a2)}
+            for w in (2, 4, 8, 16):
+                lo, hi = sm[w // 2]
+                s = w  # shift = 2 * (w // 2)
+                sm[w] = (lo | ((lo >> s) | (hi << (32 - s))), hi | (hi >> s))
+            need, got = W, 0
+            acc_lo = jnp.uint32(0)
+            for w in (16, 8, 4, 2, 1):
+                if need & w:
+                    lo, hi = sm[w]
+                    s = 2 * got
+                    acc_lo = acc_lo | (
+                        lo if s == 0 else (lo >> s) | (hi << (32 - s))
+                    )
+                    got += w
+            dirty2 = (acc_lo | (acc_lo >> 1)) & jnp.uint32(0x5555)
+            pvU = (dirty2 != jnp.uint32(0x5555)) & (rlane * 8 < n_scan)
             if stop == "hash":
                 return _stopped(kfull, pvU)
             # Units whose keyed bases contain an ambiguous base skip the
