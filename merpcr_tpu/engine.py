@@ -92,6 +92,9 @@ class MerPCR:
         self.sts_records = []
         self.max_pcr_size = 0
         self.total_hits = 0
+        # Observability: tiles retried with escalated capacities (bench
+        # logs this to prove adversarial content causes no rescan storm)
+        self._rescan_count = 0
 
         self._table = None  # DeviceTable
         self._meta = None  # TableMeta
@@ -444,7 +447,11 @@ class MerPCR:
                 rows[:, 5] = cols["rank"][t, :ht]
                 chunks.append(rows)
             else:
-                chunks.append(self._rescan_tile(cfg0, seq, n, t))
+                meas = (
+                    int(c_tot[t]), int(x_tot[t]), int(p_tot[t]),
+                    int(a_tot[t]), int(h_tot[t]),
+                )
+                chunks.append(self._rescan_tile(cfg0, seq, n, t, meas))
         if not chunks:
             return np.zeros((0, 6), dtype=np.int64)
         return np.concatenate(chunks, axis=0)
@@ -608,7 +615,14 @@ class MerPCR:
                 rows[:, 6] = out.rec[t, :ht]
                 chunks.append(rows)
             else:
-                chunks.append(self._rescan_stream_tile(cfg0, rescan_ctx, t))
+                meas = (
+                    int(out.c_total[t]), int(out.pos_total[t]),
+                    int(out.pair_total[t]), int(out.anch_total[t]),
+                    int(out.hit_total[t]),
+                )
+                chunks.append(
+                    self._rescan_stream_tile(cfg0, rescan_ctx, t, meas)
+                )
         allrows = (
             np.concatenate(chunks, axis=0)
             if chunks
@@ -616,16 +630,19 @@ class MerPCR:
         )
         return [allrows[allrows[:, 6] == i][:, :6] for i in range(n_items)]
 
-    def _rescan_stream_tile(self, cfg0, rescan_ctx, tile_idx):
-        """Retry one overflowing STREAM tile with escalated capacities."""
+    def _rescan_stream_tile(self, cfg0, rescan_ctx, tile_idx, measured):
+        """Retry one overflowing STREAM tile with measured-total
+        escalation (see :meth:`_rescan_tile`)."""
         import jax
 
         from .ops.scan import get_stream_scan_fn
 
         plane_host, rmeta_p, total_scan, stream_len = rescan_ctx
         tile_start = tile_idx * cfg0.tile_len
-        cfg = cfg0.escalate()
+        cfg = cfg0.escalate_measured(*measured)
+        self._rescan_count = getattr(self, "_rescan_count", 0)
         for _ in range(MAX_ESCALATIONS):
+            self._rescan_count += 1
             # plane_host includes cfg0.lead of left padding, and escalation
             # never changes lead/tail — tile t's buffer is the plane bytes
             # [tile_start // 2, tile_start // 2 + tile_buf_in)
@@ -647,20 +664,16 @@ class MerPCR:
                     self._runtime_params(),
                 )
             )
-            c, x, p, a_, ht = (
+            meas = (
                 int(out.c_total[0]),
                 int(out.pos_total[0]),
                 int(out.pair_total[0]),
                 int(out.anch_total[0]),
                 int(out.hit_total[0]),
             )
-            if (
-                c <= cfg.cpos_cap
-                and x <= cfg.pos_cap
-                and p <= cfg.cand_cap
-                and a_ <= cfg.anch_cap
-                and ht <= cfg.hit_cap
-            ):
+            nxt = cfg.escalate_measured(*meas)
+            if nxt is None:
+                ht = meas[4]
                 rows = np.empty((ht, 7), dtype=np.int64)
                 rows[:, 0] = out.pos1[0, :ht]
                 rows[:, 1] = out.pos2[0, :ht]
@@ -672,39 +685,47 @@ class MerPCR:
                 return rows
             logger.debug(
                 "stream tile %d overflow (cpos %d/%d pos %d/%d cand %d/%d "
-                "anch %d/%d hit %d/%d); escalating",
-                tile_idx, c, cfg.cpos_cap, x, cfg.pos_cap, p, cfg.cand_cap,
-                a_, cfg.anch_cap, ht, cfg.hit_cap,
+                "anch %d/%d hit %d/%d); escalating to measured totals",
+                tile_idx, meas[0], cfg.cpos_cap, meas[1], cfg.pos_cap,
+                meas[2], cfg.cand_cap, meas[3], cfg.anch_cap,
+                meas[4], cfg.hit_cap,
             )
-            cfg = cfg.escalate()
+            cfg = nxt
         raise RuntimeError("stream tile capacity escalation failed to converge")
 
     def _rescan_tile(
-        self, cfg0: ScanConfig, seq: np.ndarray, n: int, tile_idx: int
+        self,
+        cfg0: ScanConfig,
+        seq: np.ndarray,
+        n: int,
+        tile_idx: int,
+        measured: tuple,
     ) -> np.ndarray:
-        """Retry one overflowing tile with escalated capacities."""
+        """Retry one overflowing tile with capacities sized from the
+        MEASURED stage totals (``ScanConfig.escalate_measured``): each
+        retry fixes at least the first truncated stage exactly, so the
+        loop converges in <= 5 recompiles and every buffer stays bounded
+        by the tile's true workload."""
         import jax
 
         tile_start = tile_idx * cfg0.tile_len
-        cfg = cfg0.escalate()
+        cfg = cfg0.escalate_measured(*measured)
+        self._rescan_count = getattr(self, "_rescan_count", 0)
         for _ in range(MAX_ESCALATIONS):
+            self._rescan_count += 1
             # ONE bulk D2H: per-field int() reads would each pay a full
             # host<->device round trip (expensive over a tunnel)
             out = jax.device_get(self._run_tile(cfg, seq, n, tile_start))
-            c, x, p, a, ht = (
+            meas = (
                 int(out.c_total),
                 int(out.pos_total),
                 int(out.pair_total),
                 int(out.anch_total),
                 int(out.hit_total),
             )
-            if (
-                c <= cfg.cpos_cap
-                and x <= cfg.pos_cap
-                and p <= cfg.cand_cap
-                and a <= cfg.anch_cap
-                and ht <= cfg.hit_cap
-            ):
+            nxt = cfg.escalate_measured(*meas)
+            if nxt is None:
+                ht = meas[4]
                 rows = np.empty((ht, 6), dtype=np.int64)
                 rows[:, 0] = np.asarray(out.pos1[:ht])
                 rows[:, 1] = np.asarray(out.pos2[:ht])
@@ -715,11 +736,12 @@ class MerPCR:
                 return rows
             logger.debug(
                 "tile %d overflow (cpos %d/%d pos %d/%d cand %d/%d anch %d/%d"
-                " hit %d/%d); escalating",
-                tile_idx, c, cfg.cpos_cap, x, cfg.pos_cap, p, cfg.cand_cap,
-                a, cfg.anch_cap, ht, cfg.hit_cap,
+                " hit %d/%d); escalating to measured totals",
+                tile_idx, meas[0], cfg.cpos_cap, meas[1], cfg.pos_cap,
+                meas[2], cfg.cand_cap, meas[3], cfg.anch_cap,
+                meas[4], cfg.hit_cap,
             )
-            cfg = cfg.escalate()
+            cfg = nxt
         raise RuntimeError("tile capacity escalation failed to converge")
 
     def _run_tile(self, cfg: ScanConfig, seq: np.ndarray, n: int, tile_start: int):

@@ -159,6 +159,41 @@ class ScanConfig:
             }
         )
 
+    def escalate_measured(
+        self, c: int, x: int, p: int, a: int, h: int
+    ) -> "ScanConfig | None":
+        """Capacity escalation sized by the tile's MEASURED stage totals.
+
+        The ``*_total`` counters are full-tile reductions computed before
+        any truncation, so the FIRST overflowing stage's total is always
+        exact (downstream totals can only underestimate while an upstream
+        stage is truncated). Growing each overflowing stage to its
+        measured total therefore fixes at least the first broken stage
+        per retry — convergence in <= 5 recompiles — and every capacity is
+        bounded by the tile's true workload (rounded up to a 1024-lane
+        multiple), never a blind geometric blowup. Returns None when all
+        stages fit (the caller's result is complete)."""
+        units = self.tile_len // self.front_stride
+
+        def up(total, cap, hard):
+            if total <= cap:
+                return cap
+            return min(-(-total // 1024) * 1024, hard)
+
+        caps = {
+            "cpos_cap": up(c, self.cpos_cap, units),
+            "pos_cap": up(x, self.pos_cap, self.tile_len),
+            # pairs/anchors/hits have no static ceiling below their true
+            # totals (sum of bucket counts over the tile's W-mers); the
+            # measured total IS the provable bound
+            "cand_cap": up(p, self.cand_cap, 1 << 30),
+            "anch_cap": up(a, self.anch_cap, 1 << 30),
+            "hit_cap": up(h, self.hit_cap, 1 << 30),
+        }
+        if all(caps[k] == getattr(self, k) for k in caps):
+            return None
+        return ScanConfig(**{**self.__dict__, **caps})
+
 
 class ScanOut(NamedTuple):
     """Per-tile scan results (fixed capacity; *_total give true counts)."""
@@ -988,6 +1023,10 @@ def _scan_tile_impl(
         # recomputed arithmetically at emission instead).
         AC = 32 if cfg.anch_cap % 32 == 0 else cfg.anch_cap
         n_ac = cfg.anch_cap // AC
+        # A chunk emits at most AC*R hits, so its hloc buffer never needs
+        # more lanes than that — keeps the [n_ac, hl_cap] stack bounded
+        # when hit_cap escalates far past per-chunk reality.
+        hl_cap = min(cfg.hit_cap, AC * R)
 
         def _p2_ok_of(sb2, aentry_c, al2_c):
             """primer2 match mask over an [AC, r, P2MAX] window stack ->
@@ -1121,7 +1160,7 @@ def _scan_tile_impl(
                     & p2_ok
                 )
                 flat = hm.reshape(-1)  # anchor-major, rank-minor
-                (hloc,) = jnp.nonzero(flat, size=cfg.hit_cap, fill_value=0)
+                (hloc,) = jnp.nonzero(flat, size=hl_cap, fill_value=0)
                 return (
                     jnp.sum(flat.astype(jnp.int32)),
                     hloc.astype(jnp.int32),
@@ -1132,7 +1171,7 @@ def _scan_tile_impl(
                 _live,
                 lambda: (
                     jnp.int32(0),
-                    jnp.zeros((cfg.hit_cap,), jnp.int32),
+                    jnp.zeros((hl_cap,), jnp.int32),
                 ),
             )
 
@@ -1144,12 +1183,13 @@ def _scan_tile_impl(
         # ---- hit emission --------------------------------------------------
         # Global slot q belongs to chunk srcc2 with excl <= q < excl+hc;
         # chunk-ascending + within-chunk flat-ascending == the (anchor,
-        # rank) emission order. Chunks with hc > hit_cap truncate their
-        # hloc, but then hit_total > hit_cap too, so the host discards
-        # the tile and escalates — truncation is never silent.
+        # rank) emission order. Chunks with hc > hl_cap truncate their
+        # hloc, but that needs hc > hit_cap, so hit_total > hit_cap too
+        # and the host discards the tile and escalates — truncation is
+        # never silent.
         q = jax.lax.broadcasted_iota(jnp.int32, (cfg.hit_cap,), 0)
         srcc2, hexcl = _rank_invert(hc, cfg.hit_cap)
-        slotc = jnp.clip(q - hexcl, 0, cfg.hit_cap - 1)
+        slotc = jnp.clip(q - hexcl, 0, hl_cap - 1)
         hidx = hloc[srcc2, slotc]  # chunk-local flat index
         a_of = srcc2 * AC + hidx // R
         r_of = hidx % R

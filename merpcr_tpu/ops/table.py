@@ -110,7 +110,6 @@ def _build_strict(
     p1len: np.ndarray,  # int32[E] primer1 lengths
     p1_bytes: np.ndarray,  # uint8[E, P1MAX]
     wordsize: int,
-    stride: int,
     iupac_mode: bool,
     n_mm: int = 0,  # mismatch budget baked into the tables (0 or 1):
     #                 at n_mm=1 every EXTENSION position (never a W-mer
@@ -119,7 +118,12 @@ def _build_strict(
     #                 candidate with <= 1 primer1 mismatch still flags
     max_ins: int = 1 << 25,  # insert guard: bail (strict off) above this
 ):
-    """Unit-projection strict front-end tables, valid only at mismatches==0.
+    """Unit-projection strict front-end tables for a fixed mismatch budget.
+
+    At ``n_mm=0`` the tables are valid only for -N 0 runs; at ``n_mm=1``
+    every extension position (never a W-mer position — the scan's hash
+    lookup stays exact at any -N) is additionally enumerated as a
+    wildcard, producing the lazily-built tables the -N 1 path gathers.
 
     At N==0 a candidate only survives the full primer1 verify if EVERY
     active primer byte matches the genome (reference engine.py:599-642),
@@ -747,7 +751,6 @@ def compile_table(
             emeta[:E, 1],
             p1_bytes,
             wordsize,
-            stride,
             iupac_mode,
         )
         strict = qbloom_s is not None  # insert-explosion bail
@@ -890,7 +893,6 @@ def build_strict1(
         p1len,
         p1b,
         meta.wordsize,
-        meta.stride,
         iupac_mode,
         n_mm=1,
         max_ins=1 << 22,

@@ -359,19 +359,30 @@ class TestTPUFaults:
                 }
             )
 
-        real_escalate = ScanConfig.escalate
+        real_escalate = ScanConfig.escalate_measured
 
-        def counting_escalate(self, factor: int = 4):
-            n_escalations["n"] += 1
-            return real_escalate(self, factor)
+        def counting_escalate(self, *meas):
+            cfg = real_escalate(self, *meas)
+            if cfg is not None:  # a real escalation (some stage grew)
+                n_escalations["n"] += 1
+                # measured escalation never over-allocates past the true
+                # workload rounded up to a 1024-lane multiple
+                for k in ("cand_cap", "anch_cap", "hit_cap"):
+                    assert getattr(cfg, k) <= max(
+                        getattr(self, k), -(-max(meas) // 1024) * 1024
+                    )
+            return cfg
 
         monkeypatch.setattr(MerPCR, "_base_config", tiny_base)
-        monkeypatch.setattr(ScanConfig, "escalate", counting_escalate)
+        monkeypatch.setattr(ScanConfig, "escalate_measured", counting_escalate)
         eng = merpcr_tpu.MerPCR(margin=60)
         assert eng.load_sts_file(sts)
         got = run_search(eng, recs)
         assert got == want
-        assert n_escalations["n"] >= 2  # repeated escalation really happened
+        assert n_escalations["n"] >= 1  # escalation really happened
+        # measured escalation converges in one retry per overflowing tile:
+        # every retry must end within the engine's safety bound
+        assert eng._rescan_count <= 2 * n_escalations["n"]
 
     def test_escalation_exhaustion_raises(self, tmp_path, monkeypatch):
         """When escalation cannot converge, the engine must raise (never

@@ -104,13 +104,18 @@ stages = (
     if os.environ.get("PROFILE_STAGES")
     else ALL_STAGES
 )
+
+
 def _floor(tb):
     return jnp.sum(tb.astype(jnp.int32))
 
 
-timeit("(harness floor)", _floor)
+if stages is ALL_STAGES or "floor" in stages:
+    timeit("(harness floor)", _floor)
 prev = 0.0
 for st in stages:
+    if st == "floor":
+        continue
     dt = timeit(st, staged(st))
     print(f"{'':20s} {'':>9s}  delta {max(dt-prev,0)*1e3:7.3f} ms")
     prev = dt
