@@ -28,20 +28,50 @@ REF_MBP_PER_S = 3.2  # BASELINE.md measured: reference CPU, T=1
 
 def gen_data(
     tmpdir: str, n_mbp: float, n_sts: int, seed: int = 42, planted: int = 0,
-    n_records: int = 1,
+    n_records: int = 1, content: str = "random", stsgen: str = "random",
+    iupac_genome: float = 0.0,
 ):
-    """Random genome x random STS; ``planted`` of the STS additionally get
+    """Synthetic genome x STS; ``planted`` of the STS additionally get
     one real amplicon written into the genome (spread evenly), so the
-    anchor/margin/emission stages do real work instead of scanning 0 hits."""
+    anchor/margin/emission stages do real work instead of scanning 0 hits.
+
+    ``content`` picks the genome composition (uniform ``random``;
+    ``masked_nruns`` = GRCh38-like ~5% N-runs + 50% soft-mask;
+    ``lowcomplex`` = ~20% (AC)n/(AT)n/homopolymer tracts); ``stsgen``
+    picks the STS shape (``random``; ``repeat`` = 20% repeat-tract
+    primers; ``shared`` = heavy W-mer sharing across entries).
+    ``iupac_genome`` scatters that fraction of IUPAC ambiguity letters
+    into the genome (the dirty-genome IUPAC verify cost)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import workloads
+
     rng = random.Random(seed)
     n = int(n_mbp * 1e6)
     bases = "ACGT"
-    genome = list("".join(rng.choices(bases, k=n)))
+    if content == "masked_nruns":
+        genome = list(workloads.gen_masked_nruns(rng, n))
+    elif content == "lowcomplex":
+        genome = list(workloads.gen_lowcomplex(rng, n))
+    else:
+        genome = list("".join(rng.choices(bases, k=n)))
+    if iupac_genome > 0:
+        ambigs = "NRYKMSWBDHV"
+        for _ in range(int(n * iupac_genome)):
+            genome[rng.randrange(n)] = rng.choice(ambigs)
 
+    shared_wmers = [
+        "".join(rng.choices(bases, k=11)) for _ in range(max(1, n_sts // 100))
+    ]
     sts_path = os.path.join(tmpdir, "bench.sts")
     with open(sts_path, "w") as fh:
         for i in range(n_sts):
             p1 = "".join(rng.choices(bases, k=rng.randrange(18, 26)))
+            if stsgen == "repeat" and i % 5 == 0:
+                p1 = workloads._tract(rng, len(p1))
+            elif stsgen == "shared":
+                w = shared_wmers[i % len(shared_wmers)]
+                p1 = (w + p1)[: len(p1)]
             p2 = "".join(rng.choices(bases, k=rng.randrange(18, 26)))
             size = rng.randrange(100, 400)
             if i < planted:
@@ -104,16 +134,51 @@ def _ensure_live_backend(probe_timeout_s: int = 240) -> None:
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
+def _cold_runs(sts_path, fa_path, margin, mismatches, three_prime, wordsize,
+               iupac):
+    """One-shot FRESH-PROCESS CLI wall times (interpreter + load + compile
+    + scan + emit — what a run-once user actually pays): with the
+    persistent XLA cache warm, and with it disabled."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cli = [
+        sys.executable, "-m", "merpcr_tpu.cli", sts_path, fa_path,
+        "-M", str(margin), "-N", str(mismatches), "-X", str(three_prime),
+        "-W", str(wordsize), "-O", os.devnull,
+    ]
+    if iupac:
+        cli += ["-I", "1"]
+    out = {}
+    for key, extra in (
+        ("cold_s", {}),
+        ("cold_nocache_s", {"MERPCR_TPU_CACHE": "0"}),
+    ):
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            cli,
+            env={**os.environ, **extra, "PYTHONPATH": here},
+            capture_output=True,
+            timeout=1800,
+        )
+        out[key] = round(time.perf_counter() - t0, 2)
+        if r.returncode != 0:
+            out[key + "_rc"] = r.returncode
+    return out
+
+
 def run_config(
     mbp=47.0, nsts=1000, repeat=3, mismatches=0, three_prime=1, iupac=0,
     margin=50, planted=0, records=1, wordsize=11, row=None,
+    content="random", stsgen="random", iupac_genome=0.0, cold=False,
 ):
     """Measure one workload; returns the one-line JSON result dict."""
     import merpcr_tpu
 
     with tempfile.TemporaryDirectory() as td:
         sts_path, fa_path, n = gen_data(
-            td, mbp, nsts, planted=planted, n_records=records
+            td, mbp, nsts, planted=planted, n_records=records,
+            content=content, stsgen=stsgen, iupac_genome=iupac_genome,
         )
 
         eng = merpcr_tpu.MerPCR(
@@ -162,11 +227,21 @@ def run_config(
                 "all_s": [round(t, 4) for t in times],
                 "warmup_s": round(warmup_s, 2),
                 "hits": hits,
+                "rescans": eng._rescan_count,
+                "content": content,
+                "stsgen": stsgen,
                 "backend": __import__("jax").default_backend(),
             },
         }
         if row:
             result["detail"]["row"] = row
+        if cold:
+            result["detail"].update(
+                _cold_runs(
+                    sts_path, fa_path, margin, mismatches, three_prime,
+                    wordsize, iupac,
+                )
+            )
         return result
 
 
@@ -182,12 +257,23 @@ MATRIX = [
     ("dense_50k", dict(nsts=50000)),
     ("planted_200", dict(nsts=1000, planted=200)),
     ("iupac", dict(nsts=1000, iupac=1)),
+    ("iupac_dirty", dict(nsts=1000, iupac=1, iupac_genome=0.01)),
     ("mismatch_1", dict(nsts=1000, mismatches=1)),
+    ("mismatch_2", dict(nsts=1000, mismatches=2)),
+    ("x0_no3prime", dict(nsts=1000, three_prime=0)),
     ("scaffolds_3000", dict(mbp=30.0, nsts=1000, records=3000)),
+    ("w12", dict(nsts=1000, wordsize=12)),
+    ("w13", dict(nsts=1000, wordsize=13)),
     ("w14_multhash", dict(nsts=1000, wordsize=14)),
     ("w16_multhash", dict(nsts=1000, wordsize=16)),
     ("margin_1000", dict(nsts=1000, margin=1000, planted=100)),
     ("margin_10000", dict(nsts=1000, margin=10000, planted=100)),
+    # realistic/adversarial CONTENT rows (reference is content-insensitive;
+    # these prove the capacity model holds off uniform-random ACGT)
+    ("masked_nruns", dict(nsts=1000, content="masked_nruns")),
+    ("lowcomplex_repeat", dict(nsts=1000, content="lowcomplex",
+                               stsgen="repeat")),
+    ("shared_wmer_10k", dict(nsts=10000, stsgen="shared")),
 ]
 
 
@@ -221,6 +307,15 @@ def main():
         "--rows", default=None,
         help="with --matrix: comma-separated row names to run (default all)",
     )
+    ap.add_argument(
+        "--cold", action="store_true",
+        help="also measure one-shot fresh-process CLI wall time per row "
+        "(persistent-cache-warm AND cache-disabled)",
+    )
+    ap.add_argument("--content", default="random",
+                    help="genome content: random|masked_nruns|lowcomplex")
+    ap.add_argument("--stsgen", default="random",
+                    help="STS shape: random|repeat|shared")
     args = ap.parse_args()
 
     _ensure_live_backend()
@@ -231,7 +326,9 @@ def main():
         for row, cfg in MATRIX:
             if want and row not in want:
                 continue
-            res = run_config(repeat=args.repeat, row=row, **cfg)
+            res = run_config(
+                repeat=args.repeat, row=row, cold=args.cold, **cfg
+            )
             print(json.dumps(res), flush=True)
             results.append(res)
         with open(args.matrix, "w") as fh:
@@ -242,7 +339,8 @@ def main():
         mbp=args.mbp, nsts=args.nsts, repeat=args.repeat,
         mismatches=args.mismatches, three_prime=args.three_prime,
         iupac=args.iupac, margin=args.margin, planted=args.planted,
-        records=args.records, wordsize=args.wordsize,
+        records=args.records, wordsize=args.wordsize, cold=args.cold,
+        content=args.content, stsgen=args.stsgen,
     )
     print(json.dumps(result))
 

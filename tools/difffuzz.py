@@ -17,9 +17,11 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, "/root/reference/src")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import merpcr as ref_pkg  # noqa: E402
 import merpcr_tpu as tpu_pkg  # noqa: E402
+import workloads  # noqa: E402  (realistic/adversarial content generators)
 
 BASES = "ACGT"
 AMBIGS = "NRYKMSWBDHV"
@@ -57,6 +59,17 @@ def gen_case(rng, case_idx):
     three_prime = rng.choice([0, 1, 1, 3])
     iupac = rng.choice([0, 0, 0, 1])
     default_z = rng.choice([240, 100])
+    # Content mode (FUZZ_MODE forces one): beyond uniform scatter, cases
+    # exercise N/softmask RUNS, low-complexity repeat tracts colliding
+    # with repeat-bearing primers, and shared-W-mer-heavy sets
+    mode = os.environ.get("FUZZ_MODE") or rng.choice(
+        ("scatter",) * 3 + ("runs", "repeat", "shared")
+    )
+    shared_wmer = (
+        "".join(rng.choice(BASES) for _ in range(wordsize))
+        if mode == "shared"
+        else None
+    )
 
     n_sts = rng.randrange(1, 12)
     sts_lines = []
@@ -66,6 +79,17 @@ def gen_case(rng, case_idx):
         lp2 = rng.randrange(max(wordsize, 10), 30)
         p1 = rand_seq(rng, lp1, amb_rate=0.05 if iupac else 0.02)
         p2 = rand_seq(rng, lp2, amb_rate=0.05 if iupac else 0.02)
+        if mode == "repeat" and rng.random() < 0.4:
+            p1 = workloads._tract(rng, lp1)
+        elif mode == "shared" and rng.random() < 0.7:
+            ext = (
+                (shared_wmer * 4)[:lp1]
+                if rng.random() < 0.3
+                else shared_wmer + rand_seq(rng, max(0, lp1 - wordsize))
+            )
+            p1 = ext[:lp1] if len(ext) >= lp1 else ext + rand_seq(
+                rng, lp1 - len(ext)
+            )
         size_kind = rng.random()
         size = rng.randrange(lp1 + lp2, 400)
         if size_kind < 0.15:
@@ -85,7 +109,27 @@ def gen_case(rng, case_idx):
     # '+' = p1 ... p2 as written; '-' = p2 ... revcomp(p1)  (SURVEY.md §2.1)
     glen = int(os.environ.get("FUZZ_GLEN", "0")) or rng.randrange(2000, 20000)
     boundary = int(os.environ.get("FUZZ_BOUNDARY", "0"))  # plant near k*boundary
-    g = list(rand_seq(rng, glen, amb_rate=0.01, lower_rate=0.1))
+    if mode == "runs":
+        # megabase-style N/softmask runs at fuzz scale: run length is
+        # drawn up to half the genome, so runs dwarf primer windows
+        g = list(
+            workloads.gen_masked_nruns(
+                rng, glen, n_frac=0.1, mask_frac=0.5,
+                run_len=(100, max(200, glen // 2)),
+            )
+        )
+    elif mode == "repeat":
+        g = list(
+            workloads.gen_lowcomplex(
+                rng, glen, tract_frac=0.3, tract_len=(50, max(100, glen // 4))
+            )
+        )
+    elif mode == "shared":
+        g = list(
+            workloads.gen_tandem_tract(rng, glen, shared_wmer, tract_frac=0.2)
+        )
+    else:
+        g = list(rand_seq(rng, glen, amb_rate=0.01, lower_rate=0.1))
     for p1, p2, size in primers:
         for _ in range(rng.randrange(0, 4)):
             direct = rng.random() < 0.5
