@@ -490,7 +490,43 @@ class MerPCR:
 
         from .ops.scan import get_stream_scan_fn
 
-        rmeta, stream_len = self._stream_layout(items)
+        owner0 = items[0][1]
+        cache = self._device_plane_cache.setdefault(id(owner0), {})
+        cache["_owner"] = owner0
+        ids = tuple(id(p) for _, p in items)
+
+        # layout (rmeta + padded variant) depends only on the item run:
+        # cache it so repeat searches skip the O(n_items) Python loop
+        lk = ("layout", ids)
+        layout = cache.get(lk)
+        if layout is None:
+            rmeta, stream_len = self._stream_layout(items)
+            # rmeta rows pad to a power-of-two bucket (jit retraces per
+            # bucket, not per record count); padding rows start at
+            # INT32_MAX so the on-device searchsorted never selects them.
+            rb = 1
+            while rb < len(items):
+                rb *= 2
+            rmeta_p = np.full(
+                (rb, 2), np.iinfo(np.int32).max, dtype=np.int32
+            )
+            rmeta_p[:, 1] = 0
+            rmeta_p[: len(items)] = rmeta
+            # Block->record map: record starts are 8-aligned, so block b
+            # (positions [8b, 8b+8)) belongs to exactly one record (gap
+            # blocks can never anchor a candidate). ONE device gather
+            # replaces a log2(RB)-step searchsorted per candidate.
+            n_blocks = -(-stream_len // 8)
+            counts = np.diff(
+                rmeta[:, 0].astype(np.int64) // 8, append=n_blocks
+            )
+            recmap = np.repeat(
+                np.arange(len(items), dtype=np.int32), counts
+            )
+            layout = (rmeta, stream_len, rmeta_p, recmap)
+            cache[lk] = layout
+        rmeta, stream_len, rmeta_p, recmap = layout
+
         total_scan = stream_len - self.wordsize + 1
         tile_len = self._tile_len_override or self._pick_tile_len(total_scan)
         cfg0 = self._base_config(tile_len, packed=True, stream=True)
@@ -500,24 +536,8 @@ class MerPCR:
         n_groups = -(-n_tiles // G)
         glen = (cfg0.lead + G * L + cfg0.tail) // 2
 
-        # rmeta rows pad to a power-of-two bucket (jit retraces per bucket,
-        # not per record count); padding rows start at INT32_MAX so the
-        # on-device searchsorted never selects them.
-        rb = 1
-        while rb < len(items):
-            rb *= 2
-        rmeta_p = np.full((rb, 2), np.iinfo(np.int32).max, dtype=np.int32)
-        rmeta_p[:, 1] = 0
-        rmeta_p[: len(items)] = rmeta
-
-        owner0 = items[0][1]
-        cache = self._device_plane_cache.setdefault(id(owner0), {})
-        cache["_owner"] = owner0
         mesh_mode = self.mesh is not None
-        ck = (
-            "stream", cfg0.lead, cfg0.tail, L, G, mesh_mode,
-            tuple(id(p) for _, p in items),
-        )
+        ck = ("stream", cfg0.lead, cfg0.tail, L, G, mesh_mode, ids)
         cached = cache.get(ck)
         if cached is None:
             # dirty-fill, then overwrite record spans (records are byte-
@@ -547,10 +567,18 @@ class MerPCR:
                 cache = self._device_plane_cache.setdefault(id(owner0), {})
                 cache["_owner"] = owner0
             # keep the host plane for overflow rescans + packed recs alive
-            cached = (groups, plane, [p for _, p in items])
+            if mesh_mode:
+                rmeta_dev = recmap_dev = None
+            else:
+                rmeta_dev = jax.device_put(rmeta_p)
+                recmap_dev = jax.device_put(recmap)
+            cached = (
+                groups, plane, [p for _, p in items], rmeta_dev, recmap_dev,
+            )
             cache[ck] = cached
         groups, plane_host = cached[0], cached[1]
-        rescan_ctx = (plane_host, rmeta_p, total_scan, stream_len)
+        rmeta_dev, recmap_dev = cached[3], cached[4]
+        rescan_ctx = (plane_host, rmeta_p, total_scan, stream_len, recmap)
 
         if mesh_mode:
             from .parallel.sharded import sharded_scan_stream
@@ -558,7 +586,7 @@ class MerPCR:
             sout, n_shards, tps = sharded_scan_stream(
                 cfg0, self._table, plane_host, rmeta_p,
                 total_scan, stream_len, self.mesh,
-                rt=self._runtime_params(),
+                rt=self._runtime_params(), recmap=recmap,
             )
             out = type(sout)(
                 *(
@@ -569,7 +597,6 @@ class MerPCR:
             return ("stream", cfg0, len(items), n_tiles, [out], rescan_ctx)
 
         fn = get_stream_scan_fn(cfg0, G)
-        rmeta_dev = jax.device_put(rmeta_p)
         pend = [
             fn(
                 self._table,
@@ -578,6 +605,7 @@ class MerPCR:
                 np.int32(total_scan),
                 np.int32(stream_len),
                 rmeta_dev,
+                recmap_dev,
                 self._runtime_params(),
             )
             for g in range(n_groups)
@@ -628,7 +656,17 @@ class MerPCR:
             if chunks
             else np.zeros((0, 7), dtype=np.int64)
         )
-        return [allrows[allrows[:, 6] == i][:, :6] for i in range(n_items)]
+        # Partition rows by record with ONE stable argsort + searchsorted
+        # (a per-record boolean scan would cost O(n_items * n_hits) —
+        # scaffold-heavy FASTA has thousands of items). Within-record
+        # order need not be preserved here: the emitter re-sorts by the
+        # carried (pos1, tile, pair, rank) keys, which are unique.
+        if not len(allrows):
+            empty = allrows[:, :6]
+            return [empty] * n_items
+        srt = allrows[np.argsort(allrows[:, 6], kind="stable")]
+        bounds = np.searchsorted(srt[:, 6], np.arange(n_items + 1))
+        return [srt[bounds[i] : bounds[i + 1], :6] for i in range(n_items)]
 
     def _rescan_stream_tile(self, cfg0, rescan_ctx, tile_idx, measured):
         """Retry one overflowing STREAM tile with measured-total
@@ -637,7 +675,7 @@ class MerPCR:
 
         from .ops.scan import get_stream_scan_fn
 
-        plane_host, rmeta_p, total_scan, stream_len = rescan_ctx
+        plane_host, rmeta_p, total_scan, stream_len, recmap = rescan_ctx
         tile_start = tile_idx * cfg0.tile_len
         cfg = cfg0.escalate_measured(*measured)
         self._rescan_count = getattr(self, "_rescan_count", 0)
@@ -661,6 +699,7 @@ class MerPCR:
                     np.int32(total_scan),
                     np.int32(stream_len),
                     rmeta_p,
+                    recmap,
                     self._runtime_params(),
                 )
             )
@@ -811,57 +850,65 @@ class MerPCR:
         # tiles (scaffold-heavy FASTA would otherwise pay a dispatch +
         # per-tile fixed cost per tiny record) — sharded across the mesh
         # when one is set; lone or unpackable records go through the
-        # per-record path. Order == FASTA order throughout.
+        # per-record path. Order == FASTA order throughout. The plan
+        # (including each stream run's prebuilt item list) is cached per
+        # record-set identity: repeat searches over the same records skip
+        # the O(n_records) packing/plan Python entirely.
         plan = []
         if have_table:
-            run: List[int] = []
-            run_pos = 0
-
-            def _flush():
-                nonlocal run_pos
-                if len(run) >= 2:
-                    plan.append(("stream", run.copy()))
-                else:
-                    plan.extend(("single", j) for j in run)
-                run.clear()
+            pkey = tuple(
+                (id(r), len(r.sequence)) for r in fasta_records
+            )
+            pc = getattr(self, "_plan_cache", None)
+            if pc is not None and pc[0] == pkey:
+                plan = pc[1]
+            else:
+                run: List[int] = []
+                run_items: List[tuple] = []
                 run_pos = 0
 
-            for i, rec in enumerate(fasta_records):
-                n = len(rec.sequence)
-                if n > 0 and record_packed(rec) is not None:
-                    if (
-                        run_pos + n + 8 > self.STREAM_MAX_POSITIONS
-                        or len(run) >= self.STREAM_MAX_RECORDS
-                    ):
+                def _flush():
+                    nonlocal run_pos
+                    if len(run) >= 2:
+                        plan.append(("stream", run.copy(), run_items.copy()))
+                    else:
+                        plan.extend(("single", j) for j in run)
+                    run.clear()
+                    run_items.clear()
+                    run_pos = 0
+
+                for i, rec in enumerate(fasta_records):
+                    n = len(rec.sequence)
+                    packed = record_packed(rec) if n > 0 else None
+                    if packed is not None:
+                        if (
+                            run_pos + n + 8 > self.STREAM_MAX_POSITIONS
+                            or len(run) >= self.STREAM_MAX_RECORDS
+                        ):
+                            _flush()
+                        run.append(i)
+                        run_items.append((record_seq_bytes(rec), packed))
+                        run_pos += n + 8
+                    else:
                         _flush()
-                    run.append(i)
-                    run_pos += n + 8
-                else:
-                    _flush()
-                    plan.append(("single", i))
-            _flush()
+                        plan.append(("single", i))
+                _flush()
+                self._plan_cache = (pkey, plan)
         else:
             plan = [("single", i) for i in range(len(fasta_records))]
 
         def _dispatch_item(item):
             if not have_table:
                 return None
-            kind, v = item
-            if kind == "single":
-                rec = fasta_records[v]
+            if item[0] == "single":
+                rec = fasta_records[item[1]]
                 return self._dispatch_record(
                     record_seq_bytes(rec), record_packed(rec)
                 )
-            return self._dispatch_stream(
-                [
-                    (
-                        record_seq_bytes(fasta_records[j]),
-                        record_packed(fasta_records[j]),
-                    )
-                    for j in v
-                ]
-            )
+            return self._dispatch_stream(item[2])
 
+        log_info = logger.isEnabledFor(logging.INFO)
+        log_debug = logger.isEnabledFor(logging.DEBUG)
         try:
             # depth-1 prefetch: the next plan item's host-side prep +
             # dispatch overlap this item's device compute and host post-
@@ -869,7 +916,7 @@ class MerPCR:
             # many-contig workloads — dispatch latency + D2H per record)
             ctx_next = _dispatch_item(plan[0]) if plan else None
             for pi, item in enumerate(plan):
-                t0 = time.time()
+                t0 = time.time() if log_debug else 0.0
                 ctx = ctx_next
                 ctx_next = (
                     _dispatch_item(plan[pi + 1])
@@ -891,9 +938,11 @@ class MerPCR:
                     record = fasta_records[j]
                     seq_label = record.label
                     seq_len = len(record.sequence)
-                    logger.info(
-                        f"Processing sequence: {seq_label} ({seq_len} bp)"
-                    )
+                    if log_info:
+                        logger.info(
+                            "Processing sequence: %s (%d bp)",
+                            seq_label, seq_len,
+                        )
                     if len(arr):
                         # Reproduce T=1 ordering: stable sort by pos1 over
                         # hits emitted scan-order (tile, pair, rank) —
@@ -911,10 +960,11 @@ class MerPCR:
                             )
                         total_hits += len(arr)
                     total_bp += seq_len
-                    logger.debug(
-                        "searched %s (%d bp) in %.3fs",
-                        seq_label, seq_len, time.time() - t0,
-                    )
+                    if log_debug:
+                        logger.debug(
+                            "searched %s (%d bp) in %.3fs",
+                            seq_label, seq_len, time.time() - t0,
+                        )
         finally:
             if output is not sys.stdout:
                 output.close()

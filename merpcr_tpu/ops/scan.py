@@ -359,13 +359,14 @@ def _scan_tile(
     record_len: jnp.ndarray,  # int32 scalar: global record/stream length
     rt: jnp.ndarray,  # int32[3]: runtime (-M margin <= cap, -N, -X)
     rmeta: jnp.ndarray | None = None,  # stream mode: int32[RB, 2] (start, len)
+    recmap: jnp.ndarray | None = None,  # stream: int32[ceil(len/8)] block->rec
 ) -> ScanOut:
     """Scan one tile; padding tiles (n_scan <= 0) short-circuit via cond."""
     return jax.lax.cond(
         n_scan > 0,
         lambda: _scan_tile_impl(
             cfg, table, tile_bytes, tile_start, n_scan, record_len, rt,
-            rmeta=rmeta,
+            rmeta=rmeta, recmap=recmap,
         ),
         lambda: _empty_out(cfg),
     )
@@ -382,6 +383,7 @@ def _scan_tile_impl(
     #           (cap, 0, 1) — only used by profiling harnesses
     stop: str | None = None,  # profiling hook: truncate after a stage
     rmeta: jnp.ndarray | None = None,  # stream mode (cfg.stream)
+    recmap: jnp.ndarray | None = None,  # stream mode: block->record map
 ) -> ScanOut:
     def _stopped(*vals):
         acc = jnp.int32(0)
@@ -918,16 +920,23 @@ def _scan_tile_impl(
     kl = ppos - hoff + LEAD  # local buffer index of anchor
     l1 = em[:, 1]
     if cfg.stream:
-        # Record identity per candidate: one searchsorted over the packed
-        # record starts (rmeta rows ascend; padding rows start at
-        # INT32_MAX so they never match). Every bound below then runs in
-        # RECORD-local coordinates — windows reaching into a gap or the
-        # next record are structurally masked, so gap bytes never matter.
+        # Record identity per candidate: record starts are 8-aligned in
+        # the stream, so ONE gather into the precomputed block->record map
+        # resolves it (a searchsorted over RB rows would pay log2(RB)
+        # gathers per lane — the fallback when no map is shipped). Every
+        # bound below then runs in RECORD-local coordinates — windows
+        # reaching into a gap or the next record are structurally masked,
+        # so gap bytes never matter.
         RB = rmeta.shape[0]
         gpos = tile_start + ppos
-        rid = jnp.clip(
-            jnp.searchsorted(rmeta[:, 0], gpos, side="right") - 1, 0, RB - 1
-        )
+        if recmap is not None:
+            blk = jnp.clip(gpos >> 3, 0, recmap.shape[0] - 1)
+            rid = jnp.clip(recmap[blk], 0, RB - 1)
+        else:
+            rid = jnp.clip(
+                jnp.searchsorted(rmeta[:, 0], gpos, side="right") - 1,
+                0, RB - 1,
+            )
         rrow = rmeta[rid]  # one 2-col row gather: (start, len)
         kg_rec = kg - rrow[:, 0]
         rlen_c = rrow[:, 1]
@@ -1284,7 +1293,7 @@ def get_stream_scan_fn(cfg: ScanConfig, n_tiles: int):
 
     stride = cfg.tile_len // 2 if cfg.packed else cfg.tile_len
 
-    def f(table, padded, start0, total_scan, stream_len, rmeta, rt):
+    def f(table, padded, start0, total_scan, stream_len, rmeta, recmap, rt):
         def body(t):
             tb = jax.lax.dynamic_slice(
                 padded, (t * stride,), (cfg.tile_buf_in,)
@@ -1292,7 +1301,8 @@ def get_stream_scan_fn(cfg: ScanConfig, n_tiles: int):
             gstart = start0 + t * cfg.tile_len
             n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
             return _scan_tile(
-                cfg, table, tb, gstart, n_scan, stream_len, rt, rmeta=rmeta
+                cfg, table, tb, gstart, n_scan, stream_len, rt,
+                rmeta=rmeta, recmap=recmap,
             )
 
         return jax.lax.map(body, jnp.arange(n_tiles, dtype=jnp.int32))

@@ -113,7 +113,7 @@ def _get_sharded_stream_fn(cfg: ScanConfig, n_shards: int,
     stride = cfg.tile_len // 2 if cfg.packed else cfg.tile_len
 
     def per_shard(table, padded, tile_start0, total_scan, stream_len,
-                  rmeta, rt):
+                  rmeta, recmap, rt):
         padded = padded[0]
         start0 = tile_start0[0]
 
@@ -122,22 +122,22 @@ def _get_sharded_stream_fn(cfg: ScanConfig, n_shards: int,
             gstart = start0 + t * cfg.tile_len
             n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
             return _scan_tile(cfg, table, tb, gstart, n_scan, stream_len,
-                              rt, rmeta=rmeta)
+                              rt, rmeta=rmeta, recmap=recmap)
 
         out = jax.lax.map(body, jnp.arange(tiles_per_shard, dtype=jnp.int32))
         return jax.tree.map(lambda x: jax.lax.all_gather(x, axis), out)
 
     def run(mesh, table, padded_shards, tile_start0, total_scan,
-            stream_len, rmeta, rt):
+            stream_len, rmeta, recmap, rt):
         fn = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(), P(), P(), P()),
+            in_specs=(P(), P(axis), P(axis), P(), P(), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
         return fn(table, padded_shards, tile_start0, total_scan,
-                  stream_len, rmeta, rt)
+                  stream_len, rmeta, recmap, rt)
 
     return jax.jit(run, static_argnums=0)
 
@@ -176,6 +176,7 @@ def sharded_scan_stream(
     mesh: Mesh,
     axis: str = "shard",
     rt: np.ndarray | None = None,
+    recmap: np.ndarray | None = None,
 ):
     """Scan a concatenated multi-record stream plane across a device mesh.
 
@@ -184,13 +185,23 @@ def sharded_scan_stream(
     """
     if rt is None:
         rt = np.asarray([cfg.margin, 0, 1], dtype=np.int32)
+    if recmap is None:
+        # block->record map (see engine._dispatch_stream): starts 8-aligned
+        n_blocks = -(-stream_len // 8)
+        live = rmeta[:, 0] != np.iinfo(np.int32).max
+        counts = np.diff(
+            rmeta[live, 0].astype(np.int64) // 8, append=n_blocks
+        )
+        recmap = np.repeat(
+            np.arange(int(live.sum()), dtype=np.int32), counts
+        )
     n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     padded_shards, tile_start0, tps = shard_stream_planes(
         cfg, plane, total_scan, n_shards
     )
     fn = _get_sharded_stream_fn(cfg, n_shards, tps, axis)
     out = fn(mesh, table, padded_shards, tile_start0,
-             np.int32(total_scan), np.int32(stream_len), rmeta, rt)
+             np.int32(total_scan), np.int32(stream_len), rmeta, recmap, rt)
     return out, n_shards, tps
 
 

@@ -203,9 +203,9 @@ def test_stream_escalation_keeps_output_exact(tmp_path, monkeypatch):
             **{**cfg.__dict__, "anch_cap": 1, "hit_cap": 1}
         )
 
-    def counting_rescan(self, cfg0, rescan_ctx, tile_idx):
+    def counting_rescan(self, cfg0, rescan_ctx, tile_idx, measured):
         rescans.append(tile_idx)
-        return real_rescan(self, cfg0, rescan_ctx, tile_idx)
+        return real_rescan(self, cfg0, rescan_ctx, tile_idx, measured)
 
     monkeypatch.setattr(MerPCR, "_base_config", tiny_base)
     monkeypatch.setattr(MerPCR, "_rescan_stream_tile", counting_rescan)
