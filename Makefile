@@ -8,11 +8,11 @@ PY ?= python
 CPUENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
 .PHONY: test test-unit test-integration test-cli test-parallel test-perf \
-        bench fuzz scaling baseline deps native clean help
+        bench bench-gate fuzz scaling baseline deps native clean help
 
 help:
 	@echo "targets: test test-unit test-integration test-cli test-parallel"
-	@echo "         test-perf bench fuzz scaling baseline deps native clean"
+	@echo "         test-perf bench bench-gate fuzz scaling baseline deps native clean"
 
 test:
 	$(CPUENV) $(PY) -m pytest tests/ -q
@@ -34,6 +34,14 @@ test-perf:
 
 bench:
 	$(PY) bench.py
+
+# Regenerate the full TPU matrix and gate it against the committed
+# artifact (structural-regression check; threshold = 2x the documented
+# run-to-run noise band). On pass, commit the fresh artifact.
+bench-gate:
+	$(PY) bench.py --matrix /tmp/BENCH_MATRIX.new.json
+	$(PY) scripts/performance_baseline.py matrix-gate \
+	    --current /tmp/BENCH_MATRIX.new.json
 
 fuzz:
 	$(CPUENV) $(PY) tools/difffuzz.py 30 0

@@ -328,17 +328,48 @@ class MerPCR:
         n_tiles = -(-total_scan // L)
 
         if self.mesh is not None:
-            from .parallel.sharded import sharded_scan_record
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
 
-            sout, n_shards, tps = sharded_scan_record(
-                cfg0, self._table, seq, self.wordsize, self.mesh,
-                rt=self._runtime_params(),
+            from .parallel.sharded import shard_planes, sharded_scan_record
+
+            axis = self.mesh.axis_names[0]
+            n_shards = int(
+                np.prod([self.mesh.shape[a] for a in self.mesh.axis_names])
             )
-            # flatten (shards, tiles, ...) -> (shards*tiles, ...); global
-            # tile index = shard*tps + t keeps single-device ordering
-            out = type(sout)(*(np.asarray(x).reshape((n_shards * tps,) + x.shape[2:])
-                               for x in sout))
+            G = self._tile_group(cfg0)
+            # per-shard planes cached ACROSS searches, device_put with the
+            # sharded layout so repeat searches ship no bytes at all
+            owner = packed_rec if packed_rec is not None else seq
+            cache = self._device_plane_cache.setdefault(id(owner), {})
+            cache["_owner"] = owner
+            mk = ("mesh", cfg0.lead, cfg0.tail, L, n_shards, G)
+            planes = cache.get(mk)
+            if planes is None:
+                ps, t0s, tsc, tps = shard_planes(
+                    cfg0, seq, self.wordsize, n_shards, packed_rec, group=G
+                )
+                spec = NamedSharding(self.mesh, PartitionSpec(axis))
+                planes = (
+                    jax.device_put(ps, spec),
+                    jax.device_put(t0s, spec),
+                    tsc,
+                    tps,
+                )
+                cache[mk] = planes
+            souts, n_shards, tps, G, gathered = sharded_scan_record(
+                cfg0, self._table, seq, self.wordsize, self.mesh,
+                axis=axis, rt=self._runtime_params(), planes=planes,
+                group=G, gather=True if self._multihost else None,
+            )
+            # collection is deferred (ScanOut stays on device): the next
+            # plan item's dispatch overlaps this one's mesh compute, same
+            # depth-1 prefetch as the single-device path
             n_tiles = min(n_tiles, n_shards * tps)
+            return (
+                "mesh", cfg0, n_tiles,
+                (souts, n_shards, tps, G, gathered), seq, n,
+            )
         else:
             G = self._tile_group(cfg0)
             n_groups = -(-n_tiles // G)
@@ -383,7 +414,29 @@ class MerPCR:
                 for g in range(n_groups)
             ]
             return ("pend", cfg0, n_tiles, pend, seq, n)
-        return ("out", cfg0, n_tiles, out, seq, n)
+
+    @staticmethod
+    def _fetch_sharded(souts, n_shards, tps, G, gather):
+        """Fetch a deferred per-group list of sharded ScanOuts and
+        assemble (n_shards*tps, ...) host arrays — global tile index
+        = shard*tps + group*G + t keeps single-device ordering. Group
+        leaves are (n_shards, G, ...) when gathered (replicated via
+        all_gather) or (n_shards*G, ...) when read sharded."""
+        import jax
+
+        host = jax.device_get(souts)
+
+        def asm(cols):
+            cols = [
+                np.asarray(c).reshape(
+                    (n_shards, G) + np.asarray(c).shape[2 if gather else 1:]
+                )
+                for c in cols
+            ]
+            cat = cols[0] if len(cols) == 1 else np.concatenate(cols, axis=1)
+            return cat.reshape((n_shards * cat.shape[1],) + cat.shape[2:])
+
+        return type(host[0])(*(asm(cols) for cols in zip(*host)))
 
     @staticmethod
     def _fetch_outs(pend):
@@ -408,8 +461,8 @@ class MerPCR:
         _, cfg0, n_tiles, payload, seq, n = ctx
         if ctx[0] == "pend":
             out = self._fetch_outs(payload)
-        else:
-            out = payload
+        else:  # "mesh": deferred sharded result, fetched + flattened here
+            out = self._fetch_sharded(*payload)
 
         c_tot = np.asarray(out.c_total)
         x_tot = np.asarray(out.pos_total)
@@ -567,34 +620,56 @@ class MerPCR:
                 cache = self._device_plane_cache.setdefault(id(owner0), {})
                 cache["_owner"] = owner0
             # keep the host plane for overflow rescans + packed recs alive
+            mesh_planes = None
             if mesh_mode:
                 rmeta_dev = recmap_dev = None
+                # per-shard slices device_put with the sharded layout so
+                # repeat mesh searches ship no plane bytes
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from .parallel.sharded import shard_stream_planes
+
+                axis = self.mesh.axis_names[0]
+                n_shards = int(
+                    np.prod(
+                        [self.mesh.shape[a] for a in self.mesh.axis_names]
+                    )
+                )
+                ps, t0s, tps = shard_stream_planes(
+                    cfg0, plane, total_scan, n_shards, group=G
+                )
+                spec = NamedSharding(self.mesh, PartitionSpec(axis))
+                mesh_planes = (
+                    jax.device_put(ps, spec), jax.device_put(t0s, spec), tps,
+                )
             else:
                 rmeta_dev = jax.device_put(rmeta_p)
                 recmap_dev = jax.device_put(recmap)
             cached = (
                 groups, plane, [p for _, p in items], rmeta_dev, recmap_dev,
+                mesh_planes,
             )
             cache[ck] = cached
         groups, plane_host = cached[0], cached[1]
-        rmeta_dev, recmap_dev = cached[3], cached[4]
+        rmeta_dev, recmap_dev, mesh_planes = cached[3], cached[4], cached[5]
         rescan_ctx = (plane_host, rmeta_p, total_scan, stream_len, recmap)
 
         if mesh_mode:
             from .parallel.sharded import sharded_scan_stream
 
-            sout, n_shards, tps = sharded_scan_stream(
+            souts, n_shards, tps, SG, gathered = sharded_scan_stream(
                 cfg0, self._table, plane_host, rmeta_p,
                 total_scan, stream_len, self.mesh,
-                rt=self._runtime_params(), recmap=recmap,
+                rt=self._runtime_params(), recmap=recmap, group=G,
+                planes=mesh_planes,
+                gather=True if self._multihost else None,
             )
-            out = type(sout)(
-                *(
-                    np.asarray(x).reshape((n_shards * tps,) + x.shape[2:])
-                    for x in sout
-                )
+            # deferred collection (see _fetch_sharded): dispatch returns
+            # without blocking so the prefetch overlap works under a mesh
+            return (
+                "stream", cfg0, len(items), n_tiles,
+                ("sharded", souts, n_shards, tps, SG, gathered), rescan_ctx,
             )
-            return ("stream", cfg0, len(items), n_tiles, [out], rescan_ctx)
 
         fn = get_stream_scan_fn(cfg0, G)
         pend = [
@@ -618,7 +693,10 @@ class MerPCR:
         import jax
 
         _, cfg0, n_items, n_tiles, pend, rescan_ctx = ctx
-        out = self._fetch_outs(pend)
+        if isinstance(pend, tuple) and pend and pend[0] == "sharded":
+            out = self._fetch_sharded(*pend[1:])
+        else:
+            out = self._fetch_outs(pend)
         overflow = (
             (np.asarray(out.c_total) > cfg0.cpos_cap)
             | (np.asarray(out.pos_total) > cfg0.pos_cap)

@@ -33,123 +33,156 @@ def make_mesh(devices=None, axis: str = "shard") -> Mesh:
 
 
 @lru_cache(maxsize=32)
-def _get_sharded_fn(cfg: ScanConfig, n_shards: int, tiles_per_shard: int,
-                    axis: str = "shard"):
-    """Compiled shard_map program: every shard scans its tiles_per_shard
-    tiles, then all shards all-gather the stacked hit buffers."""
+def _get_sharded_fn(cfg: ScanConfig, n_shards: int, group: int,
+                    axis: str = "shard", gather: bool = True):
+    """Compiled shard_map program for one GROUP of ``group`` tiles per
+    shard, at group offset ``goff`` scan positions into each shard's span.
+    Groups are dispatched back-to-back like the single-device path so
+    their compute pipelines. ``gather=True`` all-gathers the hit buffers
+    (required multihost: every process sees the full set); single-process
+    meshes skip the collective — out_specs P(axis) concatenates the
+    shard results and the host reads them directly."""
 
     stride = cfg.tile_len // 2 if cfg.packed else cfg.tile_len
 
-    def per_shard(table, padded, tile_start0, total_scan, record_len, rt):
-        padded = padded[0]  # (buf,)
+    def per_shard(table, padded, tile_start0, goff, total_scan,
+                  record_len, rt):
+        # NB: slice the (1, buf) shard block 2-D and squeeze only the
+        # small tile slice — squeezing the whole plane first makes XLA
+        # re-materialize the multi-MB copy inside the tile loop
+        # (measured +40% on the whole scan).
         start0 = tile_start0[0]
+        boff = goff // 2 if cfg.packed else goff
 
         def body(t):
-            tb = jax.lax.dynamic_slice(padded, (t * stride,), (cfg.tile_buf_in,))
-            gstart = start0 + t * cfg.tile_len
+            tb = jax.lax.dynamic_slice(
+                padded, (0, boff + t * stride), (1, cfg.tile_buf_in)
+            )[0]
+            gstart = start0 + goff + t * cfg.tile_len
             n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
             return _scan_tile(cfg, table, tb, gstart, n_scan, record_len, rt)
 
-        out = jax.lax.map(body, jnp.arange(tiles_per_shard, dtype=jnp.int32))
-        # (tiles, ...) -> gathered (n_shards, tiles, ...), replicated
-        return jax.tree.map(lambda x: jax.lax.all_gather(x, axis), out)
+        out = jax.lax.map(body, jnp.arange(group, dtype=jnp.int32))
+        if gather:
+            # (G, ...) -> (n_shards, G, ...), replicated on every shard
+            return jax.tree.map(lambda x: jax.lax.all_gather(x, axis), out)
+        return out  # out_specs P(axis): global (n_shards*G, ...)
 
-    def run(mesh, table, padded_shards, tile_start0, total_scan, record_len, rt):
+    def run(mesh, table, padded_shards, tile_start0, goff, total_scan,
+            record_len, rt):
         fn = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(), P(), P()),
-            out_specs=P(),
+            in_specs=(P(), P(axis), P(axis), P(), P(), P(), P()),
+            out_specs=P() if gather else P(axis),
             check_vma=False,
         )
-        return fn(table, padded_shards, tile_start0, total_scan, record_len, rt)
+        return fn(table, padded_shards, tile_start0, goff, total_scan,
+                  record_len, rt)
 
     return jax.jit(run, static_argnums=0)
 
 
 def shard_planes(
-    cfg: ScanConfig, seq: np.ndarray, wordsize: int, n_shards: int
+    cfg: ScanConfig,
+    seq: np.ndarray,
+    wordsize: int,
+    n_shards: int,
+    packed_rec: np.ndarray | None = None,
+    group: int = 1,
 ):
     """Host-side prep: cut a record into per-shard halo-padded byte planes.
 
-    Returns (padded_shards uint8[n_shards, buf], tile_start0 int32[n_shards],
-    total_scan, tiles_per_shard). Separated from the device dispatch so
-    benchmarks can time the sharded program without this serial O(genome)
-    NumPy cost (tools/scaling_report.py)."""
+    Builds ONE packed plane (reusing the record's cached nibble packing
+    when ``packed_rec`` is given — the loader memoizes it) and takes
+    per-shard slices, exactly like ``shard_stream_planes`` — the per-shard
+    repack this replaced was a serial O(genome x shards) NumPy cost per
+    search. Returns (padded_shards uint8[n_shards, buf], tile_start0
+    int32[n_shards], total_scan, tiles_per_shard)."""
     n = len(seq)
     total_scan = n - wordsize + 1
     L = cfg.tile_len
     n_tiles = -(-total_scan // L)
-    tiles_per_shard = -(-n_tiles // n_shards)
+    # round tiles/shard up to a GROUP multiple so grouped dispatch keeps
+    # flattened row index == real tile index (padding tiles scan nothing)
+    tiles_per_shard = -(-(-(-n_tiles // n_shards)) // group) * group
     span = tiles_per_shard * L  # scan positions per shard
 
-    from ..ops.encoding import NIB_LUT, pack_nibbles
+    d = 2 if cfg.packed else 1
+    plane_len = (cfg.lead + n_shards * span + cfg.tail) // d
+    if cfg.packed and packed_rec is not None:
+        plane = np.zeros(plane_len, dtype=np.uint8)
+        plane[cfg.lead // 2 : cfg.lead // 2 + len(packed_rec)] = packed_rec
+    else:
+        from ..ops.encoding import NIB_LUT, pack_nibbles
 
-    pos_len = cfg.lead + span + cfg.tail
-    buf_len = pos_len // 2 if cfg.packed else pos_len
+        pos = np.zeros(plane_len * d, dtype=np.uint8)
+        pos[cfg.lead : cfg.lead + n] = NIB_LUT[seq] if cfg.packed else seq
+        plane = pack_nibbles(pos) if cfg.packed else pos
+
+    buf_len = (cfg.lead + span + cfg.tail) // d
     padded_shards = np.zeros((n_shards, buf_len), dtype=np.uint8)
     tile_start0 = np.zeros((n_shards,), dtype=np.int32)
     for s in range(n_shards):
-        gstart = s * span  # first scan position owned by shard s
-        tile_start0[s] = gstart
-        src0 = gstart - cfg.lead
-        a = max(0, src0)
-        b = min(n, src0 + pos_len)
-        pos = np.zeros(pos_len, dtype=np.uint8)
-        if b > a:
-            chunk = seq[a:b]
-            pos[a - src0 : b - src0] = NIB_LUT[chunk] if cfg.packed else chunk
-        padded_shards[s] = pack_nibbles(pos) if cfg.packed else pos
+        tile_start0[s] = s * span  # first scan position owned by shard s
+        chunk = plane[s * span // d : s * span // d + buf_len]
+        padded_shards[s, : len(chunk)] = chunk
     return padded_shards, tile_start0, total_scan, tiles_per_shard
 
 
 @lru_cache(maxsize=32)
-def _get_sharded_stream_fn(cfg: ScanConfig, n_shards: int,
-                           tiles_per_shard: int, axis: str = "shard"):
-    """Compiled shard_map program for STREAM planes (cfg.stream): tiles of
-    a concatenated multi-record plane partitioned across shards, rmeta
-    replicated, hit buffers all-gathered."""
+def _get_sharded_stream_fn(cfg: ScanConfig, n_shards: int, group: int,
+                           axis: str = "shard", gather: bool = True):
+    """Compiled shard_map program for STREAM planes (cfg.stream): one
+    GROUP of tiles per shard of a concatenated multi-record plane, rmeta
+    and the block->record map replicated; hit buffers all-gathered only
+    when ``gather`` (multihost — see _get_sharded_fn)."""
 
     stride = cfg.tile_len // 2 if cfg.packed else cfg.tile_len
 
-    def per_shard(table, padded, tile_start0, total_scan, stream_len,
+    def per_shard(table, padded, tile_start0, goff, total_scan, stream_len,
                   rmeta, recmap, rt):
-        padded = padded[0]
         start0 = tile_start0[0]
+        boff = goff // 2 if cfg.packed else goff
 
         def body(t):
-            tb = jax.lax.dynamic_slice(padded, (t * stride,), (cfg.tile_buf_in,))
-            gstart = start0 + t * cfg.tile_len
+            # 2-D slice + small squeeze (see record per_shard note)
+            tb = jax.lax.dynamic_slice(
+                padded, (0, boff + t * stride), (1, cfg.tile_buf_in)
+            )[0]
+            gstart = start0 + goff + t * cfg.tile_len
             n_scan = jnp.clip(total_scan - gstart, 0, cfg.tile_len)
             return _scan_tile(cfg, table, tb, gstart, n_scan, stream_len,
                               rt, rmeta=rmeta, recmap=recmap)
 
-        out = jax.lax.map(body, jnp.arange(tiles_per_shard, dtype=jnp.int32))
-        return jax.tree.map(lambda x: jax.lax.all_gather(x, axis), out)
+        out = jax.lax.map(body, jnp.arange(group, dtype=jnp.int32))
+        if gather:
+            return jax.tree.map(lambda x: jax.lax.all_gather(x, axis), out)
+        return out
 
-    def run(mesh, table, padded_shards, tile_start0, total_scan,
+    def run(mesh, table, padded_shards, tile_start0, goff, total_scan,
             stream_len, rmeta, recmap, rt):
         fn = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(), P(), P(), P(), P()),
-            out_specs=P(),
+            in_specs=(P(), P(axis), P(axis), P(), P(), P(), P(), P(), P()),
+            out_specs=P() if gather else P(axis),
             check_vma=False,
         )
-        return fn(table, padded_shards, tile_start0, total_scan,
+        return fn(table, padded_shards, tile_start0, goff, total_scan,
                   stream_len, rmeta, recmap, rt)
 
     return jax.jit(run, static_argnums=0)
 
 
 def shard_stream_planes(cfg: ScanConfig, plane: np.ndarray,
-                        total_scan: int, n_shards: int):
+                        total_scan: int, n_shards: int, group: int = 1):
     """Cut a prebuilt stream plane (lead + positions + tail, packed bytes)
     into per-shard halo-padded slices. Returns
     (padded_shards, tile_start0, tiles_per_shard)."""
     L = cfg.tile_len
     n_tiles = -(-total_scan // L)
-    tiles_per_shard = -(-n_tiles // n_shards)
+    tiles_per_shard = -(-(-(-n_tiles // n_shards)) // group) * group
     span = tiles_per_shard * L
     d = 2 if cfg.packed else 1
     buf_len = (cfg.lead + span + cfg.tail) // d
@@ -177,14 +210,19 @@ def sharded_scan_stream(
     axis: str = "shard",
     rt: np.ndarray | None = None,
     recmap: np.ndarray | None = None,
+    planes=None,
+    group: int = 1,
+    gather: bool | None = None,
 ):
     """Scan a concatenated multi-record stream plane across a device mesh.
 
-    Returns (out, n_shards, tiles_per_shard); out leaves are
-    (n_shards, tiles_per_shard, ...) with global tile = shard * tps + t.
-    """
+    Returns (outs, n_shards, tiles_per_shard, group, gathered) — the
+    per-group device results (global tile = shard * tps + goff/L + t;
+    assemble with ``engine.MerPCR._fetch_sharded``)."""
     if rt is None:
         rt = np.asarray([cfg.margin, 0, 1], dtype=np.int32)
+    if gather is None:
+        gather = jax.process_count() > 1
     if recmap is None:
         # block->record map (see engine._dispatch_stream): starts 8-aligned
         n_blocks = -(-stream_len // 8)
@@ -196,13 +234,20 @@ def sharded_scan_stream(
             np.arange(int(live.sum()), dtype=np.int32), counts
         )
     n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    padded_shards, tile_start0, tps = shard_stream_planes(
-        cfg, plane, total_scan, n_shards
-    )
-    fn = _get_sharded_stream_fn(cfg, n_shards, tps, axis)
-    out = fn(mesh, table, padded_shards, tile_start0,
-             np.int32(total_scan), np.int32(stream_len), rmeta, recmap, rt)
-    return out, n_shards, tps
+    if planes is None:
+        planes = shard_stream_planes(
+            cfg, plane, total_scan, n_shards, group=group
+        )
+    padded_shards, tile_start0, tps = planes
+    G = group if tps % group == 0 else tps
+    fn = _get_sharded_stream_fn(cfg, n_shards, G, axis, gather)
+    outs = [
+        fn(mesh, table, padded_shards, tile_start0,
+           np.int32(g * G * cfg.tile_len),
+           np.int32(total_scan), np.int32(stream_len), rmeta, recmap, rt)
+        for g in range(tps // G)
+    ]
+    return outs, n_shards, tps, G, gather
 
 
 def sharded_scan_record(
@@ -213,20 +258,40 @@ def sharded_scan_record(
     mesh: Mesh,
     axis: str = "shard",
     rt: np.ndarray | None = None,
+    packed_rec: np.ndarray | None = None,
+    planes=None,
+    group: int = 1,
+    gather: bool | None = None,
 ):
     """Scan one record across a device mesh.
 
-    Returns (out, n_shards, tiles_per_shard) where out leaves are shaped
-    (n_shards, tiles_per_shard, ...) — global tile index = shard * tiles + t,
-    matching single-device tile ordering exactly.
-    """
+    Dispatches ``tiles_per_shard // group`` grouped programs back-to-back
+    (their device compute pipelines like the single-device grouped path).
+    Returns (outs, n_shards, tiles_per_shard, group, gathered): ``outs``
+    is the per-group list of device results — feed to
+    ``engine.MerPCR._fetch_sharded`` to assemble host arrays with global
+    tile index = shard * tiles_per_shard + t, matching single-device
+    ordering exactly. ``planes`` (a prior ``shard_planes`` result,
+    possibly device_put with a sharded layout) skips the host prep — the
+    engine caches it across searches. ``gather=None`` auto-selects: the
+    all_gather collective only when multiple processes must each hold the
+    full hit set."""
     if rt is None:
         rt = np.asarray([cfg.margin, 0, 1], dtype=np.int32)
+    if gather is None:
+        gather = jax.process_count() > 1
     n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    padded_shards, tile_start0, total_scan, tiles_per_shard = shard_planes(
-        cfg, seq, wordsize, n_shards
-    )
-    fn = _get_sharded_fn(cfg, n_shards, tiles_per_shard, axis)
-    out = fn(mesh, table, padded_shards, tile_start0,
-             np.int32(total_scan), np.int32(len(seq)), rt)
-    return out, n_shards, tiles_per_shard
+    if planes is None:
+        planes = shard_planes(
+            cfg, seq, wordsize, n_shards, packed_rec, group=group
+        )
+    padded_shards, tile_start0, total_scan, tiles_per_shard = planes
+    G = group if tiles_per_shard % group == 0 else tiles_per_shard
+    fn = _get_sharded_fn(cfg, n_shards, G, axis, gather)
+    outs = [
+        fn(mesh, table, padded_shards, tile_start0,
+           np.int32(g * G * cfg.tile_len),
+           np.int32(total_scan), np.int32(len(seq)), rt)
+        for g in range(tiles_per_shard // G)
+    ]
+    return outs, n_shards, tiles_per_shard, G, gather

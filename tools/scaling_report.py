@@ -107,8 +107,10 @@ def main() -> int:
         # only the sharded device program (dispatch + all_gather + D2H),
         # so the fixed serial encode cost doesn't distort efficiency
         planes, ts0, total_scan, tps = shard_planes(cfg, seq, eng.wordsize, c)
-        fn = _get_sharded_fn(cfg, c, tps)
-        args_dev = (mesh, table, planes, ts0,
+        # one group of tps tiles per shard; all_gather included (the
+        # collective is part of what scaling must pay on a real pod)
+        fn = _get_sharded_fn(cfg, c, tps, "shard", True)
+        args_dev = (mesh, table, planes, ts0, np.int32(0),
                     np.int32(total_scan), np.int32(len(seq)), rt)
         out = fn(*args_dev)  # warm (compile)
         jax.tree.map(lambda x: np.asarray(x), out)
