@@ -25,9 +25,16 @@ import numpy as np
 from .io.fasta import FASTALoader, record_seq_bytes
 from .io.sts import STSLoader
 from .models import FASTARecord
-from .ops.scan import ScanConfig, default_config, get_scan_fn
-from .ops.table import compile_table
 from .utils.cache import enable_compilation_cache
+
+# NB: jax-importing modules (.ops.scan, the device side of .ops.table)
+# are imported lazily inside methods — small inputs served by the host
+# fast path (.ops.host_scan) never pay jax startup (~1.5 s import +
+# ~1 s first-trace even with a warm persistent cache).
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .ops.scan import ScanConfig
 
 # Constants (reference engine.py:17-39)
 AMBIG = 100
@@ -87,8 +94,6 @@ class MerPCR:
         # Accepted-but-unused in the reference too (SURVEY.md §2.1, cli.py:202-208)
         self.max_sts_line_length = max_sts_line_length
 
-        enable_compilation_cache()
-
         self.sts_records = []
         self.max_pcr_size = 0
         self.total_hits = 0
@@ -96,7 +101,8 @@ class MerPCR:
         # logs this to prove adversarial content causes no rescan storm)
         self._rescan_count = 0
 
-        self._table = None  # DeviceTable
+        self._table_host = None  # DeviceTable pytree of HOST numpy arrays
+        self._table_dev = None  # lazy device conversion (see _table)
         self._meta = None  # TableMeta
         self._strict1_tried = False  # lazy N=1 strict variant guard
         # Test hook: force a specific tile length (exercises multi-tile
@@ -167,15 +173,33 @@ class MerPCR:
                 f"Default PCR size must be between {MIN_PCR_SIZE} and {MAX_PCR_SIZE}"
             )
 
+    @property
+    def _table(self):
+        """Device-resident table, converted lazily from the host compile
+        on first device use (host-fast-path runs never touch jax)."""
+        if self._table_dev is None and self._table_host is not None:
+            import jax.numpy as jnp
+
+            enable_compilation_cache()
+            self._table_dev = type(self._table_host)(
+                *(jnp.asarray(x) for x in self._table_host)
+            )
+        return self._table_dev
+
     # ------------------------------------------------------------------ load
     def load_sts_file(self, filename: str) -> bool:
         """Load + compile the STS set (reference engine.py:193-302)."""
+        from .ops.table import compile_table
+
         res = STSLoader.load_file(filename, self.wordsize, self.default_pcr_size)
         if not res.ok:
             return False
         self.sts_records = res.records
         self.max_pcr_size = res.max_pcr_size
-        self._table, self._meta = compile_table(res, self.wordsize, bool(self.iupac_mode))
+        self._table_host, self._meta = compile_table(
+            res, self.wordsize, bool(self.iupac_mode), device=False
+        )
+        self._table_dev = None
         self._strict1_tried = False  # lazy N=1 variant (see _base_config)
         return True
 
@@ -186,7 +210,9 @@ class MerPCR:
     # ---------------------------------------------------------------- search
     def _base_config(
         self, tile_len: int, packed: bool = True, stream: bool = False
-    ) -> ScanConfig:
+    ) -> "ScanConfig":
+        from .ops.scan import default_config
+
         m = self._meta
         # The strict front end bakes a mismatch budget into its tables, so
         # the variant must match the runtime -N exactly: N=0 -> qbloom_s,
@@ -198,12 +224,14 @@ class MerPCR:
         elif packed and self.mismatches == 1 and m.strict:
             if not self._strict1_tried:
                 # N=1 variant builds lazily on the first -N 1 search so
-                # N=0 runs never pay for it
+                # N=0 runs never pay for it (host table; device copy is
+                # invalidated and reconverts on next use)
                 from .ops.table import build_strict1
 
-                self._table, self._meta = build_strict1(
-                    self._table, m, bool(self.iupac_mode)
+                self._table_host, self._meta = build_strict1(
+                    self._table_host, m, bool(self.iupac_mode)
                 )
+                self._table_dev = None
                 self._strict1_tried = True
                 m = self._meta
             strict, strict_n = (True, 1) if m.strict1 else (False, 0)
@@ -863,6 +891,7 @@ class MerPCR:
 
     def _run_tile(self, cfg: ScanConfig, seq: np.ndarray, n: int, tile_start: int):
         from .ops.encoding import NIB_LUT, pack_nibbles
+        from .ops.scan import get_scan_fn
 
         total_scan = n - self.wordsize + 1
         n_scan = min(cfg.tile_len, total_scan - tile_start)
@@ -932,8 +961,22 @@ class MerPCR:
         # (including each stream run's prebuilt item list) is cached per
         # record-set identity: repeat searches over the same records skip
         # the O(n_records) packing/plan Python entirely.
+        # Small-input HOST fast path (ops.host_scan): identical semantics
+        # in pure NumPy — a one-shot run on a small genome skips jax
+        # startup and program tracing entirely (several seconds). Dense
+        # floods fall back to the device path per record.
+        host_max = int(os.environ.get("MERPCR_TPU_HOST_MAX", "2000000"))
+        use_host = (
+            have_table
+            and self.mesh is None
+            and not self._multihost
+            and sum(len(r.sequence) for r in fasta_records) <= host_max
+        )
+
         plan = []
-        if have_table:
+        if use_host:
+            plan = [("host", i) for i in range(len(fasta_records))]
+        elif have_table:
             pkey = tuple(
                 (id(r), len(r.sequence)) for r in fasta_records
             )
@@ -978,6 +1021,20 @@ class MerPCR:
         def _dispatch_item(item):
             if not have_table:
                 return None
+            if item[0] == "host":
+                from .ops.host_scan import host_scan_record
+
+                rec = fasta_records[item[1]]
+                rows = host_scan_record(
+                    self._table_host, self._meta, record_seq_bytes(rec),
+                    self.margin, self.mismatches, self.three_prime_match,
+                )
+                if rows is not None:
+                    return ("hostrows", rows)
+                # workload past the small-input caps: device path
+                return self._dispatch_record(
+                    record_seq_bytes(rec), record_packed(rec)
+                )
             if item[0] == "single":
                 rec = fasta_records[item[1]]
                 return self._dispatch_record(
@@ -1001,13 +1058,14 @@ class MerPCR:
                     if pi + 1 < len(plan)
                     else None
                 )
-                if item[0] == "single":
+                if item[0] != "stream":
                     idxs = [item[1]]
-                    arrs = [
-                        self._collect_record(ctx)
-                        if ctx is not None
-                        else np.zeros((0, 6), dtype=np.int64)
-                    ]
+                    if ctx is None:
+                        arrs = [np.zeros((0, 6), dtype=np.int64)]
+                    elif ctx[0] == "hostrows":
+                        arrs = [ctx[1]]
+                    else:
+                        arrs = [self._collect_record(ctx)]
                 else:
                     idxs = item[1]
                     arrs = self._collect_stream(ctx)

@@ -26,8 +26,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple
 
-import jax.numpy as jnp
 import numpy as np
+
+if False:  # pragma: no cover - typing aid only; jnp is imported lazily
+    import jax.numpy as jnp  # noqa: F401
 
 from ..io.sts import STSLoadResult
 from .encoding import (
@@ -489,9 +491,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def compile_table(
-    res: STSLoadResult, wordsize: int, iupac_mode: bool
+    res: STSLoadResult, wordsize: int, iupac_mode: bool,
+    device: bool = True,
 ) -> tuple[DeviceTable, TableMeta]:
     """Compile parsed STS entries into device arrays.
+
+    ``device=False`` keeps every field a host numpy array (and never
+    imports jax) — the engine compiles host-side at load and converts
+    lazily on first device dispatch, so small inputs that take the host
+    fast path (ops.host_scan) never pay jax startup.
 
     Entries are stably sorted by hash so each bucket's slots keep file
     insertion order — required for emission-order equality with the
@@ -795,36 +803,42 @@ def compile_table(
     sq1_density = t16_1_real = 0.0
     t16_1_fp = 1.0
 
+    if device:
+        import jax.numpy as jnp
+
+        asarray = jnp.asarray
+    else:
+        asarray = np.ascontiguousarray
     table = DeviceTable(
-        scode=jnp.asarray(SCODE),
-        match=jnp.asarray(match_matrix(iupac_mode).reshape(-1)),
-        bloom=jnp.asarray(bloom),
-        qbloom=jnp.asarray(qbloom),
-        ptab=jnp.asarray(ptab),
-        qbloom_s=jnp.asarray(qbloom_s),
-        t16=jnp.asarray(t16),
-        qbloom_s1=jnp.asarray(qbloom_s1),
-        t16_1=jnp.asarray(t16_1),
-        uhash=jnp.asarray(uhash_dev),
-        ustart=jnp.asarray(ustart_dev),
-        bstart=jnp.asarray(bstart),
-        bsc=jnp.asarray(bsc),
-        emeta=jnp.asarray(emeta),
-        hash_offset=jnp.asarray(col(res.hash_offsets)),
-        p1_len=jnp.asarray(col(res.p1_lens)),
-        p2_len=jnp.asarray(col(res.p2_lens)),
-        pcr_size=jnp.asarray(col(res.pcr_sizes, pad=1)),
-        p1_bytes=jnp.asarray(p1_bytes),
-        p2_bytes=jnp.asarray(p2_bytes),
-        nib_match=jnp.asarray(nib_match_matrix(iupac_mode).reshape(-1)),
-        p1_codes=jnp.asarray(PRIMER_CODE_LUT[p1_bytes]),
-        p2_codes=jnp.asarray(PRIMER_CODE_LUT[p2_bytes]),
-        p1_exp=jnp.asarray(
+        scode=asarray(SCODE),
+        match=asarray(match_matrix(iupac_mode).reshape(-1)),
+        bloom=asarray(bloom),
+        qbloom=asarray(qbloom),
+        ptab=asarray(ptab),
+        qbloom_s=asarray(qbloom_s),
+        t16=asarray(t16),
+        qbloom_s1=asarray(qbloom_s1),
+        t16_1=asarray(t16_1),
+        uhash=asarray(uhash_dev),
+        ustart=asarray(ustart_dev),
+        bstart=asarray(bstart),
+        bsc=asarray(bsc),
+        emeta=asarray(emeta),
+        hash_offset=asarray(col(res.hash_offsets)),
+        p1_len=asarray(col(res.p1_lens)),
+        p2_len=asarray(col(res.p2_lens)),
+        pcr_size=asarray(col(res.pcr_sizes, pad=1)),
+        p1_bytes=asarray(p1_bytes),
+        p2_bytes=asarray(p2_bytes),
+        nib_match=asarray(nib_match_matrix(iupac_mode).reshape(-1)),
+        p1_codes=asarray(PRIMER_CODE_LUT[p1_bytes]),
+        p2_codes=asarray(PRIMER_CODE_LUT[p2_bytes]),
+        p1_exp=asarray(
             exp_primer[PRIMER_CODE_LUT[p1_bytes]]
             if iupac_mode
             else np.zeros((1, 1), np.uint32)
         ),
-        p2_exp=jnp.asarray(
+        p2_exp=asarray(
             exp_primer[PRIMER_CODE_LUT[p2_bytes]]
             if iupac_mode
             else np.zeros((1, 1), np.uint32)
@@ -914,9 +928,16 @@ def build_strict1(
     meta.t16_1_fp = (
         _popcount(t16_1) / float(1 << t16_1_bits) if t16_1_bits else 1.0
     )
+    # stay in the table's own array domain: numpy for the engine's host
+    # table (its device copy is invalidated by the caller), jnp when a
+    # device-backed table was passed directly
+    if isinstance(table.qbloom_s1, np.ndarray):
+        conv = np.ascontiguousarray
+    else:
+        import jax.numpy as jnp
+
+        conv = jnp.asarray
     return (
-        table._replace(
-            qbloom_s1=jnp.asarray(qbloom_s1), t16_1=jnp.asarray(t16_1)
-        ),
+        table._replace(qbloom_s1=conv(qbloom_s1), t16_1=conv(t16_1)),
         meta,
     )

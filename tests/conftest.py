@@ -13,6 +13,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The suite's corpora are deliberately small, which would route nearly
+# every search through the host (NumPy) fast path and starve the DEVICE
+# pipeline — the riskier code — of coverage. Disable host routing by
+# default; tests/test_host_path.py re-enables it explicitly, and the
+# differential fuzzer runs every case through BOTH paths.
+os.environ.setdefault("MERPCR_TPU_HOST_MAX", "0")
+
 import jax  # noqa: E402
 
 if os.environ.get("MERPCR_TEST_BACKEND", "cpu") == "cpu":

@@ -322,13 +322,17 @@ class TestTPUFaults:
         """RESOURCE_EXHAUSTED while shipping the table to HBM: the CLI
         must fail with exit 1, not a traceback crash."""
         sts = tmp_sts(f"S1\t{P1}\t{P2}\t200\n")
-        fa = tmp_fa(">s\nACGTACGT\n")
-        import merpcr_tpu.ops.table as table_mod
+        # long enough to actually dispatch a device scan (the table ships
+        # to HBM lazily on first dispatch; sub-wordsize records skip it)
+        fa = tmp_fa(">s\n" + "ACGT" * 64 + "\n")
+        # the host->device conversion happens lazily in the engine's
+        # _table property (jnp.asarray per field) — patch the jnp module
+        import jax.numpy as jnp_mod
 
         err = RuntimeError(
             "RESOURCE_EXHAUSTED: Out of memory allocating 33554432 bytes"
         )
-        with mock.patch.object(table_mod.jnp, "asarray", side_effect=err):
+        with mock.patch.object(jnp_mod, "asarray", side_effect=err):
             assert main([sts, fa]) == 1
 
     def test_forced_escalation_keeps_output_exact(self, tmp_path, monkeypatch):

@@ -183,7 +183,12 @@ def gen_case(rng, case_idx):
     return "\n".join(sts_lines) + "\n", "\n".join(fasta_lines) + "\n", params
 
 
-def run_engine(pkg, sts_path, fa_path, params):
+def run_engine(pkg, sts_path, fa_path, params, host_path=False):
+    if pkg is tpu_pkg:
+        # every case runs the tpu engine TWICE: once through the device
+        # pipeline (host routing off) and once through the host (NumPy)
+        # fast path — both must match the reference byte-for-byte
+        os.environ["MERPCR_TPU_HOST_MAX"] = "1000000000" if host_path else "0"
     eng = pkg.MerPCR(**params)
     tile_override = os.environ.get("MERPCR_TPU_TILE_LEN")
     if tile_override and pkg is tpu_pkg:
@@ -217,6 +222,14 @@ def main():
             open(fp, "w").write(fa)
             ref_out = run_engine(ref_pkg, sp, fp, params)
             tpu_out = run_engine(tpu_pkg, sp, fp, params)
+            host_out = run_engine(tpu_pkg, sp, fp, params, host_path=True)
+            if host_out != ref_out and tpu_out == ref_out:
+                fails += 1
+                print(f"=== HOST-PATH MISMATCH case {case} params={params}")
+                os.makedirs("/tmp/fuzzfail", exist_ok=True)
+                open(f"/tmp/fuzzfail/case{case}.sts", "w").write(sts)
+                open(f"/tmp/fuzzfail/case{case}.fa", "w").write(fa)
+                continue
             if ref_out != tpu_out:
                 fails += 1
                 print(f"=== MISMATCH case {case} params={params}")
