@@ -159,7 +159,7 @@ def create_parser() -> argparse.ArgumentParser:
         help=f"Max. line length for the STS file (default: {DEFAULT_MAX_STS_LINE_LENGTH})",
     )
     parser.add_argument(
-        "-v", "--version", action="version", version="merPCR-TPU version 1.2.0"
+        "-v", "--version", action="version", version="merPCR-TPU version 1.3.0"
     )
     parser.add_argument("--debug", action="store_true", help="Enable debug logging")
     # TPU-native addition (no reference counterpart — the reference's -T

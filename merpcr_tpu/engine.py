@@ -306,8 +306,11 @@ class MerPCR:
     # Tiles are dispatched in fixed-size groups: one compiled program
     # regardless of record length, and group g+1's host->device transfer
     # overlaps group g's compute (async dispatch). Padding tiles inside the
-    # last group short-circuit via lax.cond (~free).
-    TILE_GROUP = 8
+    # last group short-circuit via lax.cond (~free). Both policy constants
+    # were tuned against this box's ~200 ms tunnel round trip; on other
+    # interconnects re-derive them with tools/tile_group_sweep.py and
+    # override via env (the documented calibration hook).
+    TILE_GROUP = int(os.environ.get("MERPCR_TPU_TILE_GROUP", "8"))
 
     # lax.map's per-iteration machinery costs ~1-3 ms/tile once the scan
     # body's internal buffers grow past the floor caps, and is ~free at
@@ -318,7 +321,7 @@ class MerPCR:
     # measuring this with several engines in ONE process is misleading —
     # later engines' G=1 dispatch degrades up to 2x (accumulated device
     # state), which round 3 briefly mistook for a policy signal.
-    GROUP_POS_CAP_LIMIT = 1024
+    GROUP_POS_CAP_LIMIT = int(os.environ.get("MERPCR_TPU_GROUP_LIMIT", "1024"))
 
     def _tile_group(self, cfg) -> int:
         big = max(cfg.pos_cap, cfg.cpos_cap) > self.GROUP_POS_CAP_LIMIT

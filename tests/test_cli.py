@@ -133,7 +133,7 @@ class TestSubprocess:
             capture_output=True, text=True, env=self._env(), timeout=120,
         )
         assert r.returncode == 0
-        assert "1.2.0" in r.stdout
+        assert "1.3.0" in r.stdout
 
     def test_verbose_to_stderr(self):
         r = subprocess.run(
