@@ -208,8 +208,36 @@ class MerPCR:
         return FASTALoader.load_file(filename)
 
     # ---------------------------------------------------------------- search
+    @staticmethod
+    def _quantize_dirty(d: float) -> float:
+        """Quantize a measured dirty-base rate to log2 buckets so nearby
+        genomes share one compiled program (caps depend on it)."""
+        if d < 1e-3:
+            return 0.0
+        import math
+
+        return min(0.5, 2.0 ** round(math.log2(d)))
+
+    @staticmethod
+    def _dirty_of(seq: np.ndarray, packed_rec) -> float:
+        """Sampled non-ACGT base fraction of one record (nibble codes
+        >= 4 are ambiguity letters)."""
+        if packed_rec is not None and len(packed_rec):
+            b = packed_rec[:: max(1, len(packed_rec) >> 14)]
+            return float(
+                (((b & 0xF) >= 4).sum() + ((b >> 4) >= 4).sum())
+                / (2.0 * len(b))
+            )
+        if seq is None or not len(seq):
+            return 0.0
+        from .ops.encoding import SCODE
+
+        s = seq[:: max(1, len(seq) >> 15)]
+        return float((SCODE[s] == AMBIG).mean())
+
     def _base_config(
-        self, tile_len: int, packed: bool = True, stream: bool = False
+        self, tile_len: int, packed: bool = True, stream: bool = False,
+        dirty: float = 0.0,
     ) -> "ScanConfig":
         from .ops.scan import default_config
 
@@ -268,6 +296,7 @@ class MerPCR:
             sp_density=m.sp_density,
             t16_real=m.t16_1_real if strict_n == 1 else m.t16_real,
             t16_fp=m.t16_1_fp if strict_n == 1 else m.t16_fp,
+            dirty_rate=dirty,
         )
 
     @staticmethod
@@ -354,7 +383,10 @@ class MerPCR:
         # FASTA alphabet (always true for loader output); raw-byte fallback
         # keeps exact reference semantics for arbitrary API-supplied strings
         packed = packed_rec is not None
-        cfg0 = self._base_config(tile_len, packed=packed)
+        cfg0 = self._base_config(
+            tile_len, packed=packed,
+            dirty=self._quantize_dirty(self._dirty_of(seq, packed_rec)),
+        )
         L = cfg0.tile_len
         n_tiles = -(-total_scan // L)
 
@@ -607,13 +639,24 @@ class MerPCR:
             recmap = np.repeat(
                 np.arange(len(items), dtype=np.int32), counts
             )
-            layout = (rmeta, stream_len, rmeta_p, recmap)
+            # length-weighted sampled dirty rate over the run (sets the
+            # front-end capacity model; see default_config dirty_rate)
+            wsum = tsum = 0.0
+            for seq_b, pk in items:
+                n_i = len(seq_b)
+                wsum += self._dirty_of(seq_b, pk) * n_i
+                tsum += n_i
+            dirty = wsum / tsum if tsum else 0.0
+            layout = (rmeta, stream_len, rmeta_p, recmap, dirty)
             cache[lk] = layout
-        rmeta, stream_len, rmeta_p, recmap = layout
+        rmeta, stream_len, rmeta_p, recmap, dirty = layout
 
         total_scan = stream_len - self.wordsize + 1
         tile_len = self._tile_len_override or self._pick_tile_len(total_scan)
-        cfg0 = self._base_config(tile_len, packed=True, stream=True)
+        cfg0 = self._base_config(
+            tile_len, packed=True, stream=True,
+            dirty=self._quantize_dirty(dirty),
+        )
         L = cfg0.tile_len
         n_tiles = -(-total_scan // L)
         G = self._tile_group(cfg0)
@@ -779,32 +822,29 @@ class MerPCR:
 
     def _rescan_stream_tile(self, cfg0, rescan_ctx, tile_idx, measured):
         """Retry one overflowing STREAM tile with measured-total
-        escalation (see :meth:`_rescan_tile`)."""
+        escalation + budget splitting (see :meth:`_rescan_tile`)."""
         import jax
 
         from .ops.scan import get_stream_scan_fn
 
         plane_host, rmeta_p, total_scan, stream_len, recmap = rescan_ctx
-        tile_start = tile_idx * cfg0.tile_len
-        cfg = cfg0.escalate_measured(*measured)
-        self._rescan_count = getattr(self, "_rescan_count", 0)
-        for _ in range(MAX_ESCALATIONS):
-            self._rescan_count += 1
-            # plane_host includes cfg0.lead of left padding, and escalation
-            # never changes lead/tail — tile t's buffer is the plane bytes
-            # [tile_start // 2, tile_start // 2 + tile_buf_in)
-            src0 = tile_start // 2
+
+        def run_span(cfg, span_start):
+            # plane_host includes cfg0.lead of left padding, and
+            # escalation never changes lead/tail — the span's buffer is
+            # the plane bytes [span_start // 2, + tile_buf_in)
+            src0 = span_start // 2
             buf = plane_host[src0 : src0 + cfg.tile_buf_in]
             if len(buf) < cfg.tile_buf_in:
                 buf = np.concatenate(
                     [buf, np.zeros(cfg.tile_buf_in - len(buf), np.uint8)]
                 )
             fn = get_stream_scan_fn(cfg, 1)
-            out = jax.device_get(
+            return jax.device_get(
                 fn(
                     self._table,
                     buf,
-                    np.int32(tile_start),
+                    np.int32(span_start),
                     np.int32(total_scan),
                     np.int32(stream_len),
                     rmeta_p,
@@ -812,34 +852,46 @@ class MerPCR:
                     self._runtime_params(),
                 )
             )
-            meas = (
-                int(out.c_total[0]),
-                int(out.pos_total[0]),
-                int(out.pair_total[0]),
-                int(out.anch_total[0]),
-                int(out.hit_total[0]),
-            )
-            nxt = cfg.escalate_measured(*meas)
-            if nxt is None:
-                ht = meas[4]
-                rows = np.empty((ht, 7), dtype=np.int64)
-                rows[:, 0] = out.pos1[0, :ht]
-                rows[:, 1] = out.pos2[0, :ht]
-                rows[:, 2] = out.entry[0, :ht]
-                rows[:, 3] = tile_idx
-                rows[:, 4] = out.pair_order[0, :ht]
-                rows[:, 5] = out.rank[0, :ht]
-                rows[:, 6] = out.rec[0, :ht]
-                return rows
-            logger.debug(
-                "stream tile %d overflow (cpos %d/%d pos %d/%d cand %d/%d "
-                "anch %d/%d hit %d/%d); escalating to measured totals",
-                tile_idx, meas[0], cfg.cpos_cap, meas[1], cfg.pos_cap,
-                meas[2], cfg.cand_cap, meas[3], cfg.anch_cap,
-                meas[4], cfg.hit_cap,
-            )
-            cfg = nxt
-        raise RuntimeError("stream tile capacity escalation failed to converge")
+
+        rows = self._rescan_span(
+            cfg0, run_span, tile_idx * cfg0.tile_len, cfg0.tile_len, measured
+        )
+        rows[:, 3] = tile_idx
+        rows[:, 4] = np.arange(len(rows), dtype=np.int64)
+        return rows
+
+    # HBM budget for a single rescan program's capacities: a tile whose
+    # MEASURED workload needs more splits into position-partitioned
+    # subtiles instead (each within budget). Without this, a genuinely
+    # flooded 2M-position tile (low-complexity tract x repeat primers:
+    # tens of millions of true candidates) would ask XLA for a 30+ GB
+    # program. Positions partition cleanly, so splitting changes nothing
+    # but the dispatch count; emission order is restored by renumbering
+    # the pair key over the assembled tile rows (device hit buffers are
+    # already emission-ordered: pair asc, rank asc).
+    # (sized against ~16 GB HBM with tables resident: XLA pads the big
+    # verify intermediates up to ~5-30x, so stay well under the naive
+    # arithmetic — measured: cand 2^22/anch 2^20 compiled to an 18 GB
+    # program and died; these compile and run)
+    MAX_CAND_CAP = 1 << 20
+    MAX_ANCH_CAP = 1 << 16
+    MAX_HIT_CAP = 1 << 20
+    MIN_SPLIT_LEN = 1 << 13
+
+    def _over_budget(self, cfg) -> bool:
+        return (
+            cfg.cand_cap > self.MAX_CAND_CAP
+            or cfg.anch_cap > self.MAX_ANCH_CAP
+            or cfg.hit_cap > self.MAX_HIT_CAP
+        )
+
+    @staticmethod
+    def _with_tile_len(cfg, span_len: int):
+        if cfg.tile_len == span_len:
+            return cfg
+        from .ops.scan import ScanConfig
+
+        return ScanConfig(**{**cfg.__dict__, "tile_len": span_len})
 
     def _rescan_tile(
         self,
@@ -853,39 +905,78 @@ class MerPCR:
         MEASURED stage totals (``ScanConfig.escalate_measured``): each
         retry fixes at least the first truncated stage exactly, so the
         loop converges in <= 5 recompiles and every buffer stays bounded
-        by the tile's true workload."""
-        import jax
+        by the tile's true workload (split into subtiles past the HBM
+        budget)."""
 
-        tile_start = tile_idx * cfg0.tile_len
-        cfg = cfg0.escalate_measured(*measured)
+        def run_span(cfg, span_start):
+            import jax
+
+            return jax.device_get(self._run_tile(cfg, seq, n, span_start))
+
+        rows = self._rescan_span(
+            cfg0, run_span, tile_idx * cfg0.tile_len, cfg0.tile_len, measured
+        )
+        rows[:, 3] = tile_idx
+        # renumber the within-tile emission key over the span-ordered rows
+        rows[:, 4] = np.arange(len(rows), dtype=np.int64)
+        return rows[:, :6]
+
+    def _rescan_span(
+        self, cfg0, run_span, span_start, span_len, measured
+    ) -> np.ndarray:
+        """Rescan scan positions [span_start, span_start + span_len) with
+        measured-total escalation, splitting in half whenever the needed
+        capacities exceed the per-program HBM budget. Returns (n, 7)
+        rows (incl. the stream rec column; zeros otherwise) in emission
+        order — cols 3 and 4 are overwritten by the caller."""
+        cfg = self._with_tile_len(cfg0, span_len)
+        nxt = cfg.escalate_measured(*measured)
+        if nxt is not None:
+            cfg = nxt
         self._rescan_count = getattr(self, "_rescan_count", 0)
         for _ in range(MAX_ESCALATIONS):
+            if self._over_budget(cfg) and span_len > self.MIN_SPLIT_LEN:
+                half = span_len // 2
+                logger.debug(
+                    "span @%d len %d needs over-budget caps; splitting",
+                    span_start, span_len,
+                )
+                zero = (0, 0, 0, 0, 0)
+                left = self._rescan_span(
+                    cfg0, run_span, span_start, half, zero
+                )
+                right = self._rescan_span(
+                    cfg0, run_span, span_start + half, half, zero
+                )
+                return np.concatenate([left, right], axis=0)
             self._rescan_count += 1
             # ONE bulk D2H: per-field int() reads would each pay a full
             # host<->device round trip (expensive over a tunnel)
-            out = jax.device_get(self._run_tile(cfg, seq, n, tile_start))
+            out = run_span(cfg, span_start)
             meas = (
-                int(out.c_total),
-                int(out.pos_total),
-                int(out.pair_total),
-                int(out.anch_total),
-                int(out.hit_total),
+                int(np.asarray(out.c_total).reshape(-1)[0]),
+                int(np.asarray(out.pos_total).reshape(-1)[0]),
+                int(np.asarray(out.pair_total).reshape(-1)[0]),
+                int(np.asarray(out.anch_total).reshape(-1)[0]),
+                int(np.asarray(out.hit_total).reshape(-1)[0]),
             )
             nxt = cfg.escalate_measured(*meas)
             if nxt is None:
                 ht = meas[4]
-                rows = np.empty((ht, 6), dtype=np.int64)
-                rows[:, 0] = np.asarray(out.pos1[:ht])
-                rows[:, 1] = np.asarray(out.pos2[:ht])
-                rows[:, 2] = np.asarray(out.entry[:ht])
-                rows[:, 3] = tile_idx
-                rows[:, 4] = np.asarray(out.pair_order[:ht])
-                rows[:, 5] = np.asarray(out.rank[:ht])
+                rows = np.empty((ht, 7), dtype=np.int64)
+                for col, name in (
+                    (0, "pos1"), (1, "pos2"), (2, "entry"),
+                    (4, "pair_order"), (5, "rank"), (6, "rec"),
+                ):
+                    rows[:, col] = np.asarray(getattr(out, name)).reshape(
+                        -1
+                    )[:ht]
+                rows[:, 3] = 0
                 return rows
             logger.debug(
-                "tile %d overflow (cpos %d/%d pos %d/%d cand %d/%d anch %d/%d"
-                " hit %d/%d); escalating to measured totals",
-                tile_idx, meas[0], cfg.cpos_cap, meas[1], cfg.pos_cap,
+                "span @%d overflow (cpos %d/%d pos %d/%d cand %d/%d anch"
+                " %d/%d hit %d/%d); escalating to measured totals",
+                span_start, meas[0], cfg.cpos_cap, meas[1], cfg.pos_cap,
                 meas[2], cfg.cand_cap, meas[3], cfg.anch_cap,
                 meas[4], cfg.hit_cap,
             )

@@ -1345,6 +1345,7 @@ def default_config(
     sp_density: float = 1.0,
     t16_real: float = 0.0,
     t16_fp: float = 1.0,
+    dirty_rate: float = 0.0,
 ) -> ScanConfig:
     """Capacity heuristics.
 
@@ -1353,6 +1354,13 @@ def default_config(
     L*E/4^W candidate positions per tile) with generous headroom; the rare
     tile that still overflows is retried with escalated capacities, so
     undersizing costs a retry, never correctness.
+
+    ``dirty_rate`` is the genome's measured non-ACGT base fraction
+    (quantized by the engine): units/groups whose KEYED bases contain an
+    ambiguous base bypass the front-end tables (semantics — dirty spans
+    must reach the exact per-phase machinery), so scattered ambiguity
+    inflates the compact/expand stages far past the clean-genome model —
+    without this term a 1%-scattered-IUPAC genome rescans every tile.
     """
     # The margin is a RUNTIME value; shapes use the bucketed cap so nearby
     # margins share one compiled program AND one buffer geometry (device
@@ -1381,31 +1389,35 @@ def default_config(
     # truncation false positives only exist for W > bloom_bits/2
     trunc_fp = E / float(1 << bloom_bits) if bloom_bits < 2 * wordsize else 0.0
     strict = strict and packed  # strict front end exists only packed
+    d = min(max(dirty_rate, 0.0), 1.0)
     if packed:
         # unit/group flagged if any of its phases is a real bucket key,
-        # plus (mult-hash fallback only) bloom false positives; the exact
-        # direct-mapped tables have none. Strict mode uses the MEASURED
-        # set-bit density of the unit-projection table, whose flags cover
-        # whole u32 units (8 positions per lookup).
+        # plus (mult-hash fallback only) bloom false positives, PLUS
+        # dirty-keyed spans (which bypass the table — semantics); the
+        # exact direct-mapped tables have no false positives. Strict mode
+        # uses the MEASURED set-bit density of the unit-projection table,
+        # whose flags cover whole u32 units (8 positions per lookup).
         if strict:
-            p_unit = sq_density
+            key_dirty = 1.0 - (1.0 - d) ** 16  # 13 keyed bases + spill
+            p_unit = sq_density + key_dirty
             units = tile_len // 8
         else:
+            span_dirty = 1.0 - (1.0 - d) ** (wordsize + stride - 1)
             if exact_group:
                 # measured set-bit fraction when available (accounts for
                 # truncation false flags); model estimate otherwise
                 p_unit = (
                     q_density if q_density >= 0 else min(1.0, stride * p_real)
-                )
+                ) + span_dirty
             else:
                 fp_q = min(
                     1.0,
                     stride * 4 ** (stride - 1) * E1 / float(1 << qbloom_bits),
                 )
-                p_unit = fp_q + min(1.0, stride * p_real)
+                p_unit = fp_q + min(1.0, stride * p_real) + span_dirty
             units = tile_len // stride
     else:
-        p_unit = p_real + trunc_fp
+        p_unit = p_real + trunc_fp + d
         units = tile_len
     expect_units = int(units * min(p_unit, 1.0))
     # position expectation (packed expand stage): with the exact phase
@@ -1413,6 +1425,9 @@ def default_config(
     # AND its extension bases are consistent), so the count tracks the
     # phase-table density; the fallback expands every valid phase of a
     # flagged group
+    # dirty-keyed spans expand their VALID phases through the exact CSR
+    # (no table filter); with scattered ambiguity that term dominates
+    dirty_pos = 1.0 - (1.0 - d) ** 16 if packed else 0.0
     if packed and strict:
         # Positions only expand inside strict-FLAGGED units (the expand
         # stage masks nb by the compacted strict flags), so the realistic
@@ -1425,10 +1440,18 @@ def default_config(
         per_group = 1.0 + 8 * min(1.0, sp_density)
         expect_pos = int(
             tile_len
-            * min(sp_density, (sq_density / 8) * per_group, 1.0)
+            * min(sp_density + dirty_pos,
+                  (sq_density / 8) * per_group + dirty_pos, 1.0)
         )
     elif packed and exact_group:
-        expect_pos = int(tile_len * min(1.0, E1 / float(4**wordsize)))
+        # the folded phase table's LAST phase over-approximates 4x (its
+        # key lost the top span base at build), so the real-key phase
+        # rate is (stride-1+4)/stride x the exact-key rate
+        fold = (stride + 3.0) / stride
+        expect_pos = int(
+            tile_len
+            * min(1.0, fold * E1 / float(4**wordsize) + dirty_pos)
+        )
     else:
         expect_pos = stride * expect_units if packed else expect_units
     # E[sum of bucket counts] over the tile is exactly L * E / 4^W; in

@@ -182,6 +182,29 @@ class TestSharedWmerFlood:
         assert _out.count("\n") > 300  # really a hit flood
         assert eng._rescan_count >= 1
 
+    def test_budget_split_rescan_identical(self, oracle_pkg, tmp_path,
+                                           monkeypatch):
+        """A flooded tile whose measured totals exceed the per-program
+        HBM budget must split into subtiles (engine._rescan_span) and
+        still emit byte-identical, correctly ordered output. Budget caps
+        are shrunk so the split path runs at test scale."""
+        from merpcr_tpu.engine import MerPCR
+
+        monkeypatch.setattr(MerPCR, "MAX_CAND_CAP", 1 << 13)
+        monkeypatch.setattr(MerPCR, "MAX_ANCH_CAP", 1 << 10)
+        monkeypatch.setattr(MerPCR, "MAX_HIT_CAP", 1 << 12)
+        monkeypatch.setattr(MerPCR, "MIN_SPLIT_LEN", 1 << 9)
+        rng = random.Random(21)
+        sts_text, shared = gen_shared_wmer_sts(
+            rng, 600, wordsize=11, n_buckets=1, ext_match_frac=0.15
+        )
+        genome = gen_tandem_tract(rng, 24_000, shared[0], tract_frac=0.25)
+        _out, eng = _case(
+            tmp_path, sts_text, genome,
+            dict(margin=30, mismatches=2), oracle_pkg,
+        )
+        assert eng._rescan_count >= 2  # splitting really happened
+
     def test_many_buckets_shared(self, oracle_pkg, tmp_path):
         """Shared-W-mer-heavy set spread over several buckets (the
         realistic version: primer libraries share W-mers heavily)."""
