@@ -52,7 +52,8 @@ def gen_data(
     if content == "masked_nruns":
         genome = list(workloads.gen_masked_nruns(rng, n))
     elif content == "lowcomplex":
-        genome = list(workloads.gen_lowcomplex(rng, n))
+        # GRCh38-like simple-repeat fraction (~3-5% of the genome)
+        genome = list(workloads.gen_lowcomplex(rng, n, tract_frac=0.05))
     else:
         genome = list("".join(rng.choices(bases, k=n)))
     if iupac_genome > 0:
@@ -67,8 +68,16 @@ def gen_data(
     with open(sts_path, "w") as fh:
         for i in range(n_sts):
             p1 = "".join(rng.choices(bases, k=rng.randrange(18, 26)))
-            if stsgen == "repeat" and i % 5 == 0:
-                p1 = workloads._tract(rng, len(p1))
+            if stsgen == "repeat" and i % 10 == 0:
+                # realistic repeat-bearing primers: tract-prefixed with a
+                # unique tail (front-end floods, verify prunes); every
+                # 50th is a WHOLE tract (anchor flood — the reference's
+                # own bucket loop would grind for hours on these)
+                if i % 50 == 0:
+                    p1 = workloads._tract(rng, len(p1))
+                else:
+                    head = workloads._tract(rng, 13)
+                    p1 = (head + p1)[: len(p1)]
             elif stsgen == "shared":
                 w = shared_wmers[i % len(shared_wmers)]
                 p1 = (w + p1)[: len(p1)]

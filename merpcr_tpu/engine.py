@@ -878,6 +878,27 @@ class MerPCR:
     MAX_HIT_CAP = 1 << 20
     MIN_SPLIT_LEN = 1 << 13
 
+    # Kernel memory-map guard: every compiled XLA executable mmaps ~9+
+    # regions, and flood content compiles MANY distinct rescan programs
+    # (cap/tile-len variants). A process crossing vm.max_map_count
+    # (65530 default) SEGFAULTS inside jaxlib (observed at maps=60k on
+    # a 47 Mbp low-complexity genome). jax.clear_caches() releases
+    # executables; live jitted wrappers recompile transparently.
+    MAPS_CLEAR_THRESHOLD = 40_000
+
+    @staticmethod
+    def _maybe_clear_caches() -> None:
+        try:
+            with open("/proc/self/maps") as fh:
+                n = sum(1 for _ in fh)
+        except OSError:  # non-Linux: no map-count limit of this kind
+            return
+        if n > MerPCR.MAPS_CLEAR_THRESHOLD:
+            import jax
+
+            logger.debug("map count %d; clearing XLA caches", n)
+            jax.clear_caches()
+
     def _over_budget(self, cfg) -> bool:
         return (
             cfg.cand_cap > self.MAX_CAND_CAP
@@ -950,6 +971,7 @@ class MerPCR:
                 )
                 return np.concatenate([left, right], axis=0)
             self._rescan_count += 1
+            self._maybe_clear_caches()
             # ONE bulk D2H: per-field int() reads would each pay a full
             # host<->device round trip (expensive over a tunnel)
             out = run_span(cfg, span_start)

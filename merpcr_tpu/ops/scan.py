@@ -170,15 +170,20 @@ class ScanConfig:
         stage is truncated). Growing each overflowing stage to its
         measured total therefore fixes at least the first broken stage
         per retry — convergence in <= 5 recompiles — and every capacity is
-        bounded by the tile's true workload (rounded up to a 1024-lane
-        multiple), never a blind geometric blowup. Returns None when all
-        stages fit (the caller's result is complete)."""
+        bounded by the tile's true workload (rounded up to the next power
+        of two, so tiles/subtiles with similar floods share ONE compiled
+        program — flood rescans are compile-bound otherwise), never a
+        blind geometric blowup. Returns None when all stages fit (the
+        caller's result is complete)."""
         units = self.tile_len // self.front_stride
 
         def up(total, cap, hard):
             if total <= cap:
                 return cap
-            return min(-(-total // 1024) * 1024, hard)
+            p = 1024
+            while p < total:
+                p <<= 1
+            return min(p, hard)
 
         caps = {
             "cpos_cap": up(c, self.cpos_cap, units),

@@ -352,8 +352,8 @@ class TestTPUFaults:
         real_base = MerPCR._base_config
         n_escalations = {"n": 0}
 
-        def tiny_base(self, tile_len, packed=True):
-            cfg = real_base(self, tile_len, packed=packed)
+        def tiny_base(self, tile_len, packed=True, **kw):
+            cfg = real_base(self, tile_len, packed=packed, **kw)
             return ScanConfig(
                 **{
                     **cfg.__dict__,
@@ -370,11 +370,12 @@ class TestTPUFaults:
             if cfg is not None:  # a real escalation (some stage grew)
                 n_escalations["n"] += 1
                 # measured escalation never over-allocates past the true
-                # workload rounded up to a 1024-lane multiple
+                # workload rounded up to the next power of two (>= 1024)
+                p2 = 1024
+                while p2 < max(meas):
+                    p2 <<= 1
                 for k in ("cand_cap", "anch_cap", "hit_cap"):
-                    assert getattr(cfg, k) <= max(
-                        getattr(self, k), -(-max(meas) // 1024) * 1024
-                    )
+                    assert getattr(cfg, k) <= max(getattr(self, k), p2)
             return cfg
 
         monkeypatch.setattr(MerPCR, "_base_config", tiny_base)
@@ -399,8 +400,8 @@ class TestTPUFaults:
 
         real_base = MerPCR._base_config
 
-        def tiny_base(self, tile_len, packed=True):
-            cfg = real_base(self, tile_len, packed=packed)
+        def tiny_base(self, tile_len, packed=True, **kw):
+            cfg = real_base(self, tile_len, packed=packed, **kw)
             return ScanConfig(**{**cfg.__dict__, "hit_cap": 1})
 
         monkeypatch.setattr(MerPCR, "_base_config", tiny_base)
@@ -420,8 +421,8 @@ class TestTPUFaults:
 
         real_base = MerPCR._base_config
 
-        def tiny_base(self, tile_len, packed=True):
-            cfg = real_base(self, tile_len, packed=packed)
+        def tiny_base(self, tile_len, packed=True, **kw):
+            cfg = real_base(self, tile_len, packed=packed, **kw)
             return ScanConfig(**{**cfg.__dict__, "hit_cap": 1})
 
         monkeypatch.setattr(MerPCR, "_base_config", tiny_base)

@@ -195,7 +195,7 @@ def test_stream_escalation_keeps_output_exact(tmp_path, monkeypatch):
     rescans = []
     real_rescan = MerPCR._rescan_stream_tile
 
-    def tiny_base(self, tile_len, packed=True, stream=False):
+    def tiny_base(self, tile_len, packed=True, stream=False, **kw):
         cfg = real_base(self, tile_len, packed=packed, stream=stream)
         if not stream:
             return cfg

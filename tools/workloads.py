@@ -112,13 +112,25 @@ def sts_lines(rng, n_sts: int, p1s=None, p2s=None, prefix="WK") -> str:
     return "\n".join(out) + "\n"
 
 
-def sts_repeat_primers(rng, n_sts: int, repeat_frac: float = 0.2) -> str:
-    """STS set where ``repeat_frac`` of the primer1s are low-complexity
-    tracts (the kind that collide with ``gen_lowcomplex`` genomes)."""
+def sts_repeat_primers(
+    rng, n_sts: int, repeat_frac: float = 0.2, pure_frac: float = 1.0
+) -> str:
+    """STS set where ``repeat_frac`` of the primer1s are repeat-bearing:
+    ``pure_frac`` of those are WHOLE low-complexity tracts (every tract
+    position anchors — the brutal case), the rest tract-PREFIXED with a
+    unique tail (the realistic case: the front end floods with
+    candidates, the verify kills them)."""
     p1s = []
     for i in range(n_sts):
         if rng.random() < repeat_frac:
-            p1s.append(_tract(rng, rng.randrange(18, 26)))
+            ln = rng.randrange(18, 26)
+            if rng.random() < pure_frac:
+                p1s.append(_tract(rng, ln))
+            else:
+                head = _tract(rng, rng.randrange(12, 16))
+                p1s.append(
+                    head + "".join(_rand_bases(rng, ln - len(head)))
+                )
         else:
             p1s.append(None)
     return sts_lines(rng, n_sts, p1s=p1s, prefix="RPT")
