@@ -872,9 +872,14 @@ class MerPCR:
     # (sized against ~16 GB HBM with tables resident: XLA pads the big
     # verify intermediates up to ~5-30x, so stay well under the naive
     # arithmetic — measured: cand 2^22/anch 2^20 compiled to an 18 GB
-    # program and died; these compile and run)
+    # program and died; these compile and run. The anchor stage's memory
+    # is mostly per-CHUNK bounded — [anch_cap/32, min(hit_cap, 32R)]
+    # hloc stack + a few [anch_cap] columns — so its cap can sit far
+    # above cand_cap's; a 2^16 anch budget made every anchor-flood tile
+    # split needlessly, and each split level re-discovers caps with
+    # fresh compiles, which is what flood warmup actually pays for.)
     MAX_CAND_CAP = 1 << 20
-    MAX_ANCH_CAP = 1 << 16
+    MAX_ANCH_CAP = 1 << 19
     MAX_HIT_CAP = 1 << 20
     MIN_SPLIT_LEN = 1 << 13
 

@@ -185,17 +185,35 @@ class ScanConfig:
                 p <<= 1
             return min(p, hard)
 
+        # A truncated upstream stage makes every DOWNSTREAM total a lower
+        # bound; scale them by the worst upstream truncation ratio so one
+        # retry discovers the whole pipeline's needs instead of one stage
+        # per recompile (flood rescans are compile-bound — each distinct
+        # cap combo is a fresh program).
+        ratio = 1.0
+        scaled = []
+        for total, cap in ((c, self.cpos_cap), (x, self.pos_cap),
+                           (p, self.cand_cap), (a, self.anch_cap),
+                           (h, self.hit_cap)):
+            scaled.append(int(total * ratio))
+            if total > cap:
+                ratio = max(ratio, total / float(cap))
+        c2, x2, p2, a2, h2 = scaled
+
         caps = {
-            "cpos_cap": up(c, self.cpos_cap, units),
-            "pos_cap": up(x, self.pos_cap, self.tile_len),
+            "cpos_cap": up(c2, self.cpos_cap, units),
+            "pos_cap": up(x2, self.pos_cap, self.tile_len),
             # pairs/anchors/hits have no static ceiling below their true
             # totals (sum of bucket counts over the tile's W-mers); the
             # measured total IS the provable bound
-            "cand_cap": up(p, self.cand_cap, 1 << 30),
-            "anch_cap": up(a, self.anch_cap, 1 << 30),
-            "hit_cap": up(h, self.hit_cap, 1 << 30),
+            "cand_cap": up(p2, self.cand_cap, 1 << 30),
+            "anch_cap": up(a2, self.anch_cap, 1 << 30),
+            "hit_cap": up(h2, self.hit_cap, 1 << 30),
         }
-        if all(caps[k] == getattr(self, k) for k in caps):
+        # the unscaled totals decide WHETHER anything grew (scaling must
+        # not manufacture an escalation when every stage already fits)
+        if (c <= self.cpos_cap and x <= self.pos_cap and p <= self.cand_cap
+                and a <= self.anch_cap and h <= self.hit_cap):
             return None
         return ScanConfig(**{**self.__dict__, **caps})
 

@@ -369,10 +369,24 @@ class TestTPUFaults:
             cfg = real_escalate(self, *meas)
             if cfg is not None:  # a real escalation (some stage grew)
                 n_escalations["n"] += 1
-                # measured escalation never over-allocates past the true
-                # workload rounded up to the next power of two (>= 1024)
+                # caps stay bounded by the measured workload scaled by
+                # the worst upstream truncation ratio (downstream totals
+                # are lower bounds while an upstream stage truncates),
+                # rounded up to the next power of two (>= 1024)
+                ratio = max(
+                    [1.0]
+                    + [
+                        t / float(cap)
+                        for t, cap in zip(
+                            meas,
+                            (self.cpos_cap, self.pos_cap, self.cand_cap,
+                             self.anch_cap, self.hit_cap),
+                        )
+                        if t > cap
+                    ]
+                )
                 p2 = 1024
-                while p2 < max(meas):
+                while p2 < max(meas) * ratio:
                     p2 <<= 1
                 for k in ("cand_cap", "anch_cap", "hit_cap"):
                     assert getattr(cfg, k) <= max(getattr(self, k), p2)
