@@ -1053,7 +1053,19 @@ def _scan_tile_impl(
         # tracks the ACTUAL anchor count. Nothing [anch_cap, R]-shaped is
         # ever materialized (at -M 10000 that would be ~5M lanes; p2 is
         # recomputed arithmetically at emission instead).
-        AC = 32 if cfg.anch_cap % 32 == 0 else cfg.anch_cap
+        # Anchor chunk size: 32 at floor caps (hit-free tiles skip all
+        # chunks; small fixed cost), but GROWN with escalated anch_cap —
+        # an anchor-flood tile (tens of thousands of real anchors) at
+        # AC=32 pays thousands of sequential lax.map iterations
+        # (~2 ms each: measured 0.8 Mbp/s on a repeat-tract genome).
+        # Bounded by a ~2M-lane per-chunk memory model so large margins
+        # (R up to 20001, rank-chunked at RC=2048) stay in budget.
+        if cfg.anch_cap % 32:
+            AC = cfg.anch_cap
+        else:
+            mem_lanes = (1 << 21) // max(min(R, 2048) * cfg.p2_max, 1)
+            ac = min(1024, max(32, cfg.anch_cap // 128), max(32, mem_lanes))
+            AC = 1 << (ac.bit_length() - 1)  # pow2 => divides anch_cap
         n_ac = cfg.anch_cap // AC
         # A chunk emits at most AC*R hits, so its hloc buffer never needs
         # more lanes than that — keeps the [n_ac, hl_cap] stack bounded
