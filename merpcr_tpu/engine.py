@@ -548,6 +548,17 @@ class MerPCR:
             "rank": np.asarray(out.rank),
         }
 
+        # First-wave rescans dispatch ASYNC for every overflowing tile
+        # (measured seeding makes one sized retry almost always final),
+        # then ONE bulk fetch — sequential per-tile round trips would pay
+        # the full host<->device latency per tile (measured: an anchor-
+        # flood genome spent ~10 s/search in ~50 serial rescan RTTs).
+        wave = self._rescan_wave(
+            cfg0, overflow,
+            (c_tot, x_tot, p_tot, a_tot, h_tot),
+            lambda cfg, t: self._run_tile(cfg, seq, n, t * cfg0.tile_len),
+        )
+
         chunks = []
         for t in range(n_tiles):
             if not overflow[t]:
@@ -563,6 +574,13 @@ class MerPCR:
                 rows[:, 5] = cols["rank"][t, :ht]
                 chunks.append(rows)
             else:
+                done = wave.get(t)
+                if done is not None:
+                    rows7 = done
+                    rows7[:, 3] = t
+                    rows7[:, 4] = np.arange(len(rows7), dtype=np.int64)
+                    chunks.append(rows7[:, :6])
+                    continue
                 meas = (
                     int(c_tot[t]), int(x_tot[t]), int(p_tot[t]),
                     int(a_tot[t]), int(h_tot[t]),
@@ -571,6 +589,54 @@ class MerPCR:
         if not chunks:
             return np.zeros((0, 6), dtype=np.int64)
         return np.concatenate(chunks, axis=0)
+
+    def _rescan_wave(self, cfg0, overflow, totals, runner):
+        """Async first-wave rescans: dispatch every overflowing tile at
+        its measured-seeded capacities, bulk-fetch, and return
+        {tile: (n,7) rows} for the tiles whose wave attempt fit (others
+        fall back to the sequential escalate/split loop). ``runner`` is
+        called as runner(cfg, tile_idx) and must dispatch WITHOUT
+        blocking."""
+        import jax
+
+        if MAX_ESCALATIONS < 1:  # exhaustion guard (tests pin it to 0):
+            return {}  # the sequential path raises, never truncates
+        c_tot, x_tot, p_tot, a_tot, h_tot = totals
+        pend = {}
+        for t in np.nonzero(overflow)[0]:
+            meas = (
+                int(c_tot[t]), int(x_tot[t]), int(p_tot[t]),
+                int(a_tot[t]), int(h_tot[t]),
+            )
+            cfg_t = cfg0.escalate_measured(*meas)
+            if cfg_t is None or self._over_budget(cfg_t):
+                continue  # sequential path handles splits
+            self._rescan_count += 1
+            self._maybe_clear_caches()
+            pend[int(t)] = (cfg_t, runner(cfg_t, int(t)))
+        if not pend:
+            return {}
+        fetched = jax.device_get({t: p for t, (c, p) in pend.items()})
+        done = {}
+        for t, out in fetched.items():
+            cfg_t = pend[t][0]
+            meas = tuple(
+                int(np.asarray(getattr(out, f)).reshape(-1)[0])
+                for f in ("c_total", "pos_total", "pair_total",
+                          "anch_total", "hit_total")
+            )
+            if cfg_t.escalate_measured(*meas) is not None:
+                continue  # still overflowing: sequential loop finishes it
+            ht = meas[4]
+            rows = np.empty((ht, 7), dtype=np.int64)
+            for col, name in (
+                (0, "pos1"), (1, "pos2"), (2, "entry"),
+                (4, "pair_order"), (5, "rank"), (6, "rec"),
+            ):
+                rows[:, col] = np.asarray(getattr(out, name)).reshape(-1)[:ht]
+            rows[:, 3] = 0
+            done[t] = rows
+        return done
 
     # Stream-mode limits: records per stream chunk (rmeta row bucket) and
     # scan positions per chunk (plane memory + int32 coordinate safety).
@@ -778,6 +844,16 @@ class MerPCR:
             | (np.asarray(out.anch_total) > cfg0.anch_cap)
             | (np.asarray(out.hit_total) > cfg0.hit_cap)
         )
+        wave = self._rescan_wave(
+            cfg0, overflow,
+            (np.asarray(out.c_total), np.asarray(out.pos_total),
+             np.asarray(out.pair_total), np.asarray(out.anch_total),
+             np.asarray(out.hit_total)),
+            lambda cfg, t: self._run_stream_tile(
+                cfg, rescan_ctx, t * cfg0.tile_len
+            ),
+        )
+
         chunks = []
         h_tot = np.asarray(out.hit_total)
         for t in range(n_tiles):
@@ -795,6 +871,12 @@ class MerPCR:
                 rows[:, 6] = out.rec[t, :ht]
                 chunks.append(rows)
             else:
+                done = wave.get(t)
+                if done is not None:
+                    done[:, 3] = t
+                    done[:, 4] = np.arange(len(done), dtype=np.int64)
+                    chunks.append(done)
+                    continue
                 meas = (
                     int(out.c_total[t]), int(out.pos_total[t]),
                     int(out.pair_total[t]), int(out.anch_total[t]),
@@ -820,37 +902,41 @@ class MerPCR:
         bounds = np.searchsorted(srt[:, 6], np.arange(n_items + 1))
         return [srt[bounds[i] : bounds[i + 1], :6] for i in range(n_items)]
 
+    def _run_stream_tile(self, cfg, rescan_ctx, span_start):
+        """Dispatch ONE stream span at the given config (non-blocking;
+        returns device arrays)."""
+        from .ops.scan import get_stream_scan_fn
+
+        plane_host, rmeta_p, total_scan, stream_len, recmap = rescan_ctx
+        # plane_host includes cfg.lead of left padding, and escalation
+        # never changes lead/tail — the span's buffer is the plane bytes
+        # [span_start // 2, + tile_buf_in)
+        src0 = span_start // 2
+        buf = plane_host[src0 : src0 + cfg.tile_buf_in]
+        if len(buf) < cfg.tile_buf_in:
+            buf = np.concatenate(
+                [buf, np.zeros(cfg.tile_buf_in - len(buf), np.uint8)]
+            )
+        fn = get_stream_scan_fn(cfg, 1)
+        return fn(
+            self._table,
+            buf,
+            np.int32(span_start),
+            np.int32(total_scan),
+            np.int32(stream_len),
+            rmeta_p,
+            recmap,
+            self._runtime_params(),
+        )
+
     def _rescan_stream_tile(self, cfg0, rescan_ctx, tile_idx, measured):
         """Retry one overflowing STREAM tile with measured-total
         escalation + budget splitting (see :meth:`_rescan_tile`)."""
         import jax
 
-        from .ops.scan import get_stream_scan_fn
-
-        plane_host, rmeta_p, total_scan, stream_len, recmap = rescan_ctx
-
         def run_span(cfg, span_start):
-            # plane_host includes cfg0.lead of left padding, and
-            # escalation never changes lead/tail — the span's buffer is
-            # the plane bytes [span_start // 2, + tile_buf_in)
-            src0 = span_start // 2
-            buf = plane_host[src0 : src0 + cfg.tile_buf_in]
-            if len(buf) < cfg.tile_buf_in:
-                buf = np.concatenate(
-                    [buf, np.zeros(cfg.tile_buf_in - len(buf), np.uint8)]
-                )
-            fn = get_stream_scan_fn(cfg, 1)
             return jax.device_get(
-                fn(
-                    self._table,
-                    buf,
-                    np.int32(span_start),
-                    np.int32(total_scan),
-                    np.int32(stream_len),
-                    rmeta_p,
-                    recmap,
-                    self._runtime_params(),
-                )
+                self._run_stream_tile(cfg, rescan_ctx, span_start)
             )
 
         rows = self._rescan_span(

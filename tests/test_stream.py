@@ -207,8 +207,16 @@ def test_stream_escalation_keeps_output_exact(tmp_path, monkeypatch):
         rescans.append(tile_idx)
         return real_rescan(self, cfg0, rescan_ctx, tile_idx, measured)
 
+    real_wave = MerPCR._rescan_wave
+
+    def counting_wave(self, cfg0, overflow, totals, runner):
+        done = real_wave(self, cfg0, overflow, totals, runner)
+        rescans.extend(done.keys())  # wave-resolved tiles count too
+        return done
+
     monkeypatch.setattr(MerPCR, "_base_config", tiny_base)
     monkeypatch.setattr(MerPCR, "_rescan_stream_tile", counting_rescan)
+    monkeypatch.setattr(MerPCR, "_rescan_wave", counting_wave)
     got = _stream_output(sts, fa, **dict(margin=60))
     assert got == want and rescans  # escalation really ran
     assert want.count("\n") >= 50
