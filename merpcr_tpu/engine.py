@@ -557,6 +557,8 @@ class MerPCR:
             cfg0, overflow,
             (c_tot, x_tot, p_tot, a_tot, h_tot),
             lambda cfg, t: self._run_tile(cfg, seq, n, t * cfg0.tile_len),
+            # stable content key (object ids change across searches)
+            seed_key=(n, int(seq[:: max(1, n // 64)].sum()) if n else 0),
         )
 
         chunks = []
@@ -590,52 +592,81 @@ class MerPCR:
             return np.zeros((0, 6), dtype=np.int64)
         return np.concatenate(chunks, axis=0)
 
-    def _rescan_wave(self, cfg0, overflow, totals, runner):
-        """Async first-wave rescans: dispatch every overflowing tile at
-        its measured-seeded capacities, bulk-fetch, and return
-        {tile: (n,7) rows} for the tiles whose wave attempt fit (others
-        fall back to the sequential escalate/split loop). ``runner`` is
-        called as runner(cfg, tile_idx) and must dispatch WITHOUT
+    def _rescan_wave(self, cfg0, overflow, totals, runner, seed_key=None):
+        """Iterated async rescan waves: every still-overflowing tile's
+        next sized attempt dispatches CONCURRENTLY, then one bulk fetch
+        per wave — so the (usually 2-3) capacity-discovery attempts cost
+        waves x (RTT + slowest tile) instead of tiles x attempts serial
+        round trips. Returns {tile: (n,7) rows} for resolved tiles;
+        tiles needing an over-budget program (-> split) fall back to the
+        sequential loop. ``runner(cfg, tile_idx)`` must dispatch WITHOUT
         blocking."""
         import jax
 
         if MAX_ESCALATIONS < 1:  # exhaustion guard (tests pin it to 0):
             return {}  # the sequential path raises, never truncates
         c_tot, x_tot, p_tot, a_tot, h_tot = totals
-        pend = {}
+        seeds = getattr(self, "_rescan_seeds", None)
+        if seeds is None:
+            seeds = self._rescan_seeds = {}
+        state = {}  # tile -> (cfg_prev, meas)
         for t in np.nonzero(overflow)[0]:
             meas = (
                 int(c_tot[t]), int(x_tot[t]), int(p_tot[t]),
                 int(a_tot[t]), int(h_tot[t]),
             )
-            cfg_t = cfg0.escalate_measured(*meas)
-            if cfg_t is None or self._over_budget(cfg_t):
-                continue  # sequential path handles splits
-            self._rescan_count += 1
-            self._maybe_clear_caches()
-            pend[int(t)] = (cfg_t, runner(cfg_t, int(t)))
-        if not pend:
-            return {}
-        fetched = jax.device_get({t: p for t, (c, p) in pend.items()})
+            # remembered per-tile totals from a prior search over the
+            # same plane: repeat searches skip capacity re-discovery
+            # (exact=True — remembered totals were measured untruncated,
+            # so they size caps directly, no truncation-ratio scaling)
+            prev = seeds.get((seed_key, int(t))) if seed_key else None
+            if prev:
+                meas = tuple(max(a, b) for a, b in zip(meas, prev))
+            state[int(t)] = (cfg0, meas, prev is not None)
         done = {}
-        for t, out in fetched.items():
-            cfg_t = pend[t][0]
-            meas = tuple(
-                int(np.asarray(getattr(out, f)).reshape(-1)[0])
-                for f in ("c_total", "pos_total", "pair_total",
-                          "anch_total", "hit_total")
-            )
-            if cfg_t.escalate_measured(*meas) is not None:
-                continue  # still overflowing: sequential loop finishes it
-            ht = meas[4]
-            rows = np.empty((ht, 7), dtype=np.int64)
-            for col, name in (
-                (0, "pos1"), (1, "pos2"), (2, "entry"),
-                (4, "pair_order"), (5, "rank"), (6, "rec"),
-            ):
-                rows[:, col] = np.asarray(getattr(out, name)).reshape(-1)[:ht]
-            rows[:, 3] = 0
-            done[t] = rows
+        for _ in range(MAX_ESCALATIONS):
+            pend = {}
+            for t, (cfg_prev, meas, exact) in list(state.items()):
+                cfg_t = cfg_prev.escalate_measured(*meas, exact=exact)
+                if cfg_t is None:
+                    cfg_t = cfg_prev  # shouldn't happen; re-run to finish
+                if self._over_budget(cfg_t):
+                    del state[t]  # sequential split path handles it
+                    continue
+                self._rescan_count += 1
+                pend[t] = (cfg_t, runner(cfg_t, t))
+            if not pend:
+                break
+            self._maybe_clear_caches()
+            fetched = jax.device_get({t: p for t, (c, p) in pend.items()})
+            for t, out in fetched.items():
+                cfg_t = pend[t][0]
+                meas = tuple(
+                    int(np.asarray(getattr(out, f)).reshape(-1)[0])
+                    for f in ("c_total", "pos_total", "pair_total",
+                              "anch_total", "hit_total")
+                )
+                if cfg_t.escalate_measured(*meas) is not None:
+                    state[t] = (cfg_t, meas, False)  # next wave
+                    continue
+                del state[t]
+                if seed_key:
+                    seeds[(seed_key, t)] = meas
+                    if len(seeds) > 4096:
+                        seeds.clear()
+                ht = meas[4]
+                rows = np.empty((ht, 7), dtype=np.int64)
+                for col, name in (
+                    (0, "pos1"), (1, "pos2"), (2, "entry"),
+                    (4, "pair_order"), (5, "rank"), (6, "rec"),
+                ):
+                    rows[:, col] = np.asarray(
+                        getattr(out, name)
+                    ).reshape(-1)[:ht]
+                rows[:, 3] = 0
+                done[t] = rows
+            if not state:
+                break
         return done
 
     # Stream-mode limits: records per stream chunk (rmeta row bucket) and
@@ -852,6 +883,9 @@ class MerPCR:
             lambda cfg, t: self._run_stream_tile(
                 cfg, rescan_ctx, t * cfg0.tile_len
             ),
+            # the stream plane is cache-stable across searches; its id
+            # plus length is a stable key
+            seed_key=(id(rescan_ctx[0]), len(rescan_ctx[0])),
         )
 
         chunks = []

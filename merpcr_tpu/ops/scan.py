@@ -160,7 +160,7 @@ class ScanConfig:
         )
 
     def escalate_measured(
-        self, c: int, x: int, p: int, a: int, h: int
+        self, c: int, x: int, p: int, a: int, h: int, exact: bool = False
     ) -> "ScanConfig | None":
         """Capacity escalation sized by the tile's MEASURED stage totals.
 
@@ -189,14 +189,17 @@ class ScanConfig:
         # bound; scale them by the worst upstream truncation ratio so one
         # retry discovers the whole pipeline's needs instead of one stage
         # per recompile (flood rescans are compile-bound — each distinct
-        # cap combo is a fresh program).
+        # cap combo is a fresh program). ``exact=True`` says the totals
+        # were measured WITHOUT truncation (e.g. remembered from a prior
+        # resolved rescan of the same tile) — scaling those compounds
+        # into absurd caps, so they size directly.
         ratio = 1.0
         scaled = []
         for total, cap in ((c, self.cpos_cap), (x, self.pos_cap),
                            (p, self.cand_cap), (a, self.anch_cap),
                            (h, self.hit_cap)):
             scaled.append(int(total * ratio))
-            if total > cap:
+            if total > cap and not exact:
                 ratio = max(ratio, total / float(cap))
         c2, x2, p2, a2, h2 = scaled
 

@@ -365,8 +365,8 @@ class TestTPUFaults:
 
         real_escalate = ScanConfig.escalate_measured
 
-        def counting_escalate(self, *meas):
-            cfg = real_escalate(self, *meas)
+        def counting_escalate(self, *meas, **kw):
+            cfg = real_escalate(self, *meas, **kw)
             if cfg is not None:  # a real escalation (some stage grew)
                 n_escalations["n"] += 1
                 # caps stay bounded by the measured workload scaled by

@@ -209,8 +209,8 @@ def test_stream_escalation_keeps_output_exact(tmp_path, monkeypatch):
 
     real_wave = MerPCR._rescan_wave
 
-    def counting_wave(self, cfg0, overflow, totals, runner):
-        done = real_wave(self, cfg0, overflow, totals, runner)
+    def counting_wave(self, cfg0, overflow, totals, runner, **kw):
+        done = real_wave(self, cfg0, overflow, totals, runner, **kw)
         rescans.extend(done.keys())  # wave-resolved tiles count too
         return done
 
