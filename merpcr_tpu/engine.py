@@ -59,8 +59,12 @@ MIN_PCR_SIZE = 1
 MAX_PCR_SIZE = 10000
 
 # Tile-length buckets: smallest bucket covering the record is used, so small
-# inputs compile small programs; large genomes stream 512K-position tiles.
-TILE_LEN_BUCKETS = (1 << 15, 1 << 17, 1 << 19, 1 << 21)
+# inputs compile small programs; large genomes scan 8M-position tiles
+# (measured on the 250 Mbp row: 2^21 619 -> 2^23 712 Mbp/s — per-tile
+# fixed costs amortize). STREAMS cap at 2^21: their per-tile cost grows
+# with the gap-driven dirty-bypass machinery and 2^23 measured slower.
+TILE_LEN_BUCKETS = (1 << 15, 1 << 17, 1 << 19, 1 << 21, 1 << 23)
+STREAM_MAX_TILE = 1 << 21
 MAX_ESCALATIONS = 12
 
 logger = logging.getLogger(__name__)
@@ -209,10 +213,13 @@ class MerPCR:
 
     # ---------------------------------------------------------------- search
     @staticmethod
-    def _quantize_dirty(d: float) -> float:
+    def _quantize_dirty(d: float, floor: float = 1e-3) -> float:
         """Quantize a measured dirty-base rate to log2 buckets so nearby
-        genomes share one compiled program (caps depend on it)."""
-        if d < 1e-3:
+        genomes share one compiled program (caps depend on it). Streams
+        pass a finer floor: their inter-record gap bytes are dirty by
+        construction and even a 1e-4 rate is thousands of bypassing
+        units per big tile."""
+        if d < floor:
             return 0.0
         import math
 
@@ -326,11 +333,14 @@ class MerPCR:
         )
 
     @staticmethod
-    def _pick_tile_len(total_scan: int) -> int:
-        for b in TILE_LEN_BUCKETS:
+    def _pick_tile_len(total_scan: int, max_tile: int | None = None) -> int:
+        buckets = [
+            b for b in TILE_LEN_BUCKETS if max_tile is None or b <= max_tile
+        ]
+        for b in buckets:
             if total_scan <= b:
                 return b
-        return TILE_LEN_BUCKETS[-1]
+        return buckets[-1]
 
     # Tiles are dispatched in fixed-size groups: one compiled program
     # regardless of record length, and group g+1's host->device transfer
@@ -737,22 +747,27 @@ class MerPCR:
                 np.arange(len(items), dtype=np.int32), counts
             )
             # length-weighted sampled dirty rate over the run (sets the
-            # front-end capacity model; see default_config dirty_rate)
+            # front-end capacity model; see default_config dirty_rate),
+            # PLUS the inter-record gap bytes (0xFF-filled, dirty by
+            # construction — 3000 scaffolds add ~6k bypassing units)
             wsum = tsum = 0.0
             for seq_b, pk in items:
                 n_i = len(seq_b)
                 wsum += self._dirty_of(seq_b, pk) * n_i
                 tsum += n_i
-            dirty = wsum / tsum if tsum else 0.0
+            gaps = max(0, stream_len - int(tsum))
+            dirty = (wsum + gaps) / stream_len if stream_len else 0.0
             layout = (rmeta, stream_len, rmeta_p, recmap, dirty)
             cache[lk] = layout
         rmeta, stream_len, rmeta_p, recmap, dirty = layout
 
         total_scan = stream_len - self.wordsize + 1
-        tile_len = self._tile_len_override or self._pick_tile_len(total_scan)
+        tile_len = self._tile_len_override or self._pick_tile_len(
+            total_scan, max_tile=STREAM_MAX_TILE
+        )
         cfg0 = self._base_config(
             tile_len, packed=True, stream=True,
-            dirty=self._quantize_dirty(dirty),
+            dirty=self._quantize_dirty(dirty, floor=1e-5),
         )
         L = cfg0.tile_len
         n_tiles = -(-total_scan // L)

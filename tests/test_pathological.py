@@ -205,6 +205,32 @@ class TestSharedWmerFlood:
         )
         assert eng._rescan_count >= 2  # splitting really happened
 
+    def test_repeat_search_uses_capacity_seeds(self, oracle_pkg, tmp_path):
+        """A second search over the same flooded plane must converge with
+        at most one rescan per overflowing tile (remembered exact totals
+        seed the wave — engine._rescan_seeds)."""
+        rng = random.Random(23)
+        sts_text, shared = gen_shared_wmer_sts(
+            rng, 800, wordsize=11, n_buckets=1
+        )
+        genome = gen_tandem_tract(rng, 16_000, shared[0], tract_frac=0.12)
+        sts = tmp_path / "w.sts"
+        fa = tmp_path / "w.fa"
+        sts.write_text(sts_text)
+        write_fasta(str(fa), genome)
+        out1, eng = _run(
+            merpcr_tpu, str(sts), str(fa), dict(margin=50, mismatches=2)
+        )
+        r1 = eng._rescan_count
+        assert r1 >= 1
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            eng.search(eng.load_fasta_file(str(fa)), None)
+        assert buf.getvalue() == out1
+        r2 = eng._rescan_count - r1
+        # seeded second search: no capacity re-discovery waves
+        assert r2 <= r1, (r1, r2)
+
     def test_many_buckets_shared(self, oracle_pkg, tmp_path):
         """Shared-W-mer-heavy set spread over several buckets (the
         realistic version: primer libraries share W-mers heavily)."""
