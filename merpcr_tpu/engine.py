@@ -226,25 +226,47 @@ class MerPCR:
         return min(0.5, 2.0 ** round(math.log2(d)))
 
     @staticmethod
-    def _dirty_of(seq: np.ndarray, packed_rec) -> float:
-        """Sampled non-ACGT base fraction of one record (nibble codes
-        >= 4 are ambiguity letters)."""
+    def _dirty_of(seq: np.ndarray, packed_rec) -> tuple:
+        """(w16, wpos) WINDOW dirty rates of one record: the fraction of
+        16-base windows containing a non-ACGT base (front-end key bypass
+        rate), and the fraction dirty-in-16 but clean-in-~11 (the zone
+        whose phases still expand through the exact CSR). Measuring
+        windows directly — instead of deriving from the base rate — gets
+        BOTH clustering regimes right: scattered 1% ambiguity dirties
+        ~15% of windows, while a 5%-coverage N-RUN genome dirties only
+        ~5% (the base-rate derivation would claim 56% and compile
+        monster programs)."""
         if packed_rec is not None and len(packed_rec):
-            b = packed_rec[:: max(1, len(packed_rec) >> 14)]
-            return float(
-                (((b & 0xF) >= 4).sum() + ((b >> 4) >= 4).sum())
-                / (2.0 * len(b))
-            )
+            b = packed_rec
+            db = (((b & 0xF) >= 4) | ((b >> 4) >= 4)).astype(np.int32)
+            cs = np.cumsum(db)
+            if len(cs) <= 8:
+                any_d = bool(db.any())
+                return (float(any_d), 0.0)
+            # sampled window starts, byte granularity (8 B = 16 bases,
+            # 6 B = 12 ~ the W-mer window)
+            idx = np.arange(0, len(cs) - 8, max(1, len(cs) >> 14))
+            base = np.concatenate(([0], cs))
+            w16 = (base[idx + 8] - base[idx]) > 0
+            w11 = (base[idx + 6] - base[idx]) > 0
+            return (float(w16.mean()), float((w16 & ~w11).mean()))
         if seq is None or not len(seq):
-            return 0.0
+            return (0.0, 0.0)
         from .ops.encoding import SCODE
 
-        s = seq[:: max(1, len(seq) >> 15)]
-        return float((SCODE[s] == AMBIG).mean())
+        db = (SCODE[seq] == AMBIG).astype(np.int32)
+        cs = np.concatenate(([0], np.cumsum(db)))
+        if len(cs) <= 16:
+            return (float(db.any()), 0.0)
+        idx = np.arange(0, len(cs) - 16, max(1, len(cs) >> 15))
+        w16 = (cs[idx + 16] - cs[idx]) > 0
+        w11 = (cs[idx + 11] - cs[idx]) > 0
+        return (float(w16.mean()), float((w16 & ~w11).mean()))
 
     def _base_config(
         self, tile_len: int, packed: bool = True, stream: bool = False,
-        dirty: float = 0.0,
+        dirty: float = 0.0, dirty_pos: float = 0.0,
+        gaps_per_tile: float = 0.0,
     ) -> "ScanConfig":
         from .ops.scan import default_config
 
@@ -304,6 +326,8 @@ class MerPCR:
             t16_real=m.t16_1_real if strict_n == 1 else m.t16_real,
             t16_fp=m.t16_1_fp if strict_n == 1 else m.t16_fp,
             dirty_rate=dirty,
+            dirty_pos_rate=dirty_pos,
+            gaps_per_tile=gaps_per_tile,
         )
 
     @staticmethod
@@ -393,9 +417,18 @@ class MerPCR:
         # FASTA alphabet (always true for loader output); raw-byte fallback
         # keeps exact reference semantics for arbitrary API-supplied strings
         packed = packed_rec is not None
+        # window dirty rates are cached per record (a cumsum over the
+        # whole plane — cheap once, not per search)
+        owner0 = packed_rec if packed_rec is not None else seq
+        dcache = self._device_plane_cache.setdefault(id(owner0), {})
+        dcache["_owner"] = owner0
+        dw = dcache.get("_dirty")
+        if dw is None:
+            dw = dcache["_dirty"] = self._dirty_of(seq, packed_rec)
         cfg0 = self._base_config(
             tile_len, packed=packed,
-            dirty=self._quantize_dirty(self._dirty_of(seq, packed_rec)),
+            dirty=self._quantize_dirty(dw[0]),
+            dirty_pos=self._quantize_dirty(dw[1]),
         )
         L = cfg0.tile_len
         n_tiles = -(-total_scan // L)
@@ -746,17 +779,20 @@ class MerPCR:
             recmap = np.repeat(
                 np.arange(len(items), dtype=np.int32), counts
             )
-            # length-weighted sampled dirty rate over the run (sets the
-            # front-end capacity model; see default_config dirty_rate),
-            # PLUS the inter-record gap bytes (0xFF-filled, dirty by
-            # construction — 3000 scaffolds add ~6k bypassing units)
-            wsum = tsum = 0.0
+            # length-weighted sampled CONTENT window-dirty rates over the
+            # run (sets the front-end capacity model; see default_config
+            # dirty_rate — inter-record gap bytes are modeled separately
+            # via gaps_per_tile, they are clustered, not scattered)
+            w16s = wps = tsum = 0.0
             for seq_b, pk in items:
                 n_i = len(seq_b)
-                wsum += self._dirty_of(seq_b, pk) * n_i
+                w16, wp = self._dirty_of(seq_b, pk)
+                w16s += w16 * n_i
+                wps += wp * n_i
                 tsum += n_i
-            gaps = max(0, stream_len - int(tsum))
-            dirty = (wsum + gaps) / stream_len if stream_len else 0.0
+            dirty = (
+                (w16s / tsum, wps / tsum) if tsum else (0.0, 0.0)
+            )
             layout = (rmeta, stream_len, rmeta_p, recmap, dirty)
             cache[lk] = layout
         rmeta, stream_len, rmeta_p, recmap, dirty = layout
@@ -765,9 +801,14 @@ class MerPCR:
         tile_len = self._tile_len_override or self._pick_tile_len(
             total_scan, max_tile=STREAM_MAX_TILE
         )
+        gpt = int(len(items) * tile_len / max(total_scan, 1)) + 1
         cfg0 = self._base_config(
             tile_len, packed=True, stream=True,
-            dirty=self._quantize_dirty(dirty, floor=1e-5),
+            dirty=self._quantize_dirty(dirty[0]),
+            dirty_pos=self._quantize_dirty(dirty[1]),
+            # pow2-ceiling quantized so nearby record counts share one
+            # compiled program
+            gaps_per_tile=float(1 << (gpt - 1).bit_length()),
         )
         L = cfg0.tile_len
         n_tiles = -(-total_scan // L)

@@ -1384,6 +1384,8 @@ def default_config(
     t16_real: float = 0.0,
     t16_fp: float = 1.0,
     dirty_rate: float = 0.0,
+    dirty_pos_rate: float = 0.0,
+    gaps_per_tile: float = 0.0,
 ) -> ScanConfig:
     """Capacity heuristics.
 
@@ -1393,12 +1395,24 @@ def default_config(
     tile that still overflows is retried with escalated capacities, so
     undersizing costs a retry, never correctness.
 
-    ``dirty_rate`` is the genome's measured non-ACGT base fraction
-    (quantized by the engine): units/groups whose KEYED bases contain an
-    ambiguous base bypass the front-end tables (semantics — dirty spans
-    must reach the exact per-phase machinery), so scattered ambiguity
-    inflates the compact/expand stages far past the clean-genome model —
-    without this term a 1%-scattered-IUPAC genome rescans every tile.
+    ``dirty_rate`` is the genome's measured 16-base-WINDOW dirty rate
+    (fraction of windows containing a non-ACGT base, quantized by the
+    engine): units/groups whose KEYED bases contain an ambiguous base
+    bypass the front-end tables (semantics — dirty spans must reach the
+    exact per-phase machinery), so scattered ambiguity inflates the
+    compact stage far past the clean-genome model — without this term a
+    1%-scattered-IUPAC genome rescans every tile. ``dirty_pos_rate`` is
+    the dirty-in-16-but-clean-in-11 window rate — only THOSE positions
+    actually expand phases (a position inside an N-run has no valid
+    W-mer window at all). Both are measured as window rates, never
+    derived from the base rate: the derivation is wrong by an order of
+    magnitude for run-clustered dirt (real N-runs).
+
+    ``gaps_per_tile`` is the stream path's expected inter-record gap
+    count per tile: each 8-base dirty gap flags ~3 adjacent units and
+    expands a handful of valid phases. Gaps are CLUSTERED dirt — running
+    them through the scattered dirty_rate model overestimates ~5x and
+    measurably slows the scaffold scan through oversized pos machinery.
     """
     # The margin is a RUNTIME value; shapes use the bucketed cap so nearby
     # margins share one compiled program AND one buffer geometry (device
@@ -1427,7 +1441,7 @@ def default_config(
     # truncation false positives only exist for W > bloom_bits/2
     trunc_fp = E / float(1 << bloom_bits) if bloom_bits < 2 * wordsize else 0.0
     strict = strict and packed  # strict front end exists only packed
-    d = min(max(dirty_rate, 0.0), 1.0)
+    d = min(max(dirty_rate, 0.0), 1.0)  # 16-window dirty rate (measured)
     if packed:
         # unit/group flagged if any of its phases is a real bucket key,
         # plus (mult-hash fallback only) bloom false positives, PLUS
@@ -1436,36 +1450,35 @@ def default_config(
         # uses the MEASURED set-bit density of the unit-projection table,
         # whose flags cover whole u32 units (8 positions per lookup).
         if strict:
-            key_dirty = 1.0 - (1.0 - d) ** 16  # 13 keyed bases + spill
-            p_unit = sq_density + key_dirty
+            p_unit = sq_density + d
             units = tile_len // 8
         else:
-            span_dirty = 1.0 - (1.0 - d) ** (wordsize + stride - 1)
             if exact_group:
                 # measured set-bit fraction when available (accounts for
                 # truncation false flags); model estimate otherwise
                 p_unit = (
                     q_density if q_density >= 0 else min(1.0, stride * p_real)
-                ) + span_dirty
+                ) + d
             else:
                 fp_q = min(
                     1.0,
                     stride * 4 ** (stride - 1) * E1 / float(1 << qbloom_bits),
                 )
-                p_unit = fp_q + min(1.0, stride * p_real) + span_dirty
+                p_unit = fp_q + min(1.0, stride * p_real) + d
             units = tile_len // stride
     else:
         p_unit = p_real + trunc_fp + d
         units = tile_len
-    expect_units = int(units * min(p_unit, 1.0))
+    expect_units = int(units * min(p_unit, 1.0) + 3 * gaps_per_tile)
     # position expectation (packed expand stage): with the exact phase
     # table a position expands iff its W-mer is a real bucket key (strict:
     # AND its extension bases are consistent), so the count tracks the
     # phase-table density; the fallback expands every valid phase of a
     # flagged group
-    # dirty-keyed spans expand their VALID phases through the exact CSR
-    # (no table filter); with scattered ambiguity that term dominates
-    dirty_pos = 1.0 - (1.0 - d) ** 16 if packed else 0.0
+    # dirty-keyed spans with a CLEAN W-mer window expand their phases
+    # through the exact CSR (no table filter); the measured
+    # dirty-16-clean-11 window rate counts exactly those positions
+    dirty_pos = min(max(dirty_pos_rate, 0.0), 1.0) if packed else 0.0
     if packed and strict:
         # Positions only expand inside strict-FLAGGED units (the expand
         # stage masks nb by the compacted strict flags), so the realistic
@@ -1492,6 +1505,7 @@ def default_config(
         )
     else:
         expect_pos = stride * expect_units if packed else expect_units
+    expect_pos = int(expect_pos + 10 * gaps_per_tile)
     # E[sum of bucket counts] over the tile is exactly L * E / 4^W; in
     # strict mode only t16-passing positions (real 16-base matches + hash
     # false positives among expanded positions) reach pair expansion
