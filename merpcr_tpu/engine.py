@@ -265,8 +265,7 @@ class MerPCR:
 
     def _base_config(
         self, tile_len: int, packed: bool = True, stream: bool = False,
-        dirty: float = 0.0, dirty_pos: float = 0.0,
-        gaps_per_tile: float = 0.0,
+        dirty: float = 0.0, gaps_per_tile: float = 0.0,
     ) -> "ScanConfig":
         from .ops.scan import default_config
 
@@ -326,7 +325,6 @@ class MerPCR:
             t16_real=m.t16_1_real if strict_n == 1 else m.t16_real,
             t16_fp=m.t16_1_fp if strict_n == 1 else m.t16_fp,
             dirty_rate=dirty,
-            dirty_pos_rate=dirty_pos,
             gaps_per_tile=gaps_per_tile,
         )
 
@@ -426,9 +424,7 @@ class MerPCR:
         if dw is None:
             dw = dcache["_dirty"] = self._dirty_of(seq, packed_rec)
         cfg0 = self._base_config(
-            tile_len, packed=packed,
-            dirty=self._quantize_dirty(dw[0]),
-            dirty_pos=self._quantize_dirty(dw[1]),
+            tile_len, packed=packed, dirty=self._quantize_dirty(dw[1]),
         )
         L = cfg0.tile_len
         n_tiles = -(-total_scan // L)
@@ -804,8 +800,7 @@ class MerPCR:
         gpt = int(len(items) * tile_len / max(total_scan, 1)) + 1
         cfg0 = self._base_config(
             tile_len, packed=True, stream=True,
-            dirty=self._quantize_dirty(dirty[0]),
-            dirty_pos=self._quantize_dirty(dirty[1]),
+            dirty=self._quantize_dirty(dirty[1]),
             # pow2-ceiling quantized so nearby record counts share one
             # compiled program
             gaps_per_tile=float(1 << (gpt - 1).bit_length()),
