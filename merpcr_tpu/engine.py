@@ -595,7 +595,7 @@ class MerPCR:
         wave = self._rescan_wave(
             cfg0, overflow,
             (c_tot, x_tot, p_tot, a_tot, h_tot),
-            lambda cfg, t: self._run_tile(cfg, seq, n, t * cfg0.tile_len),
+            lambda cfg, s0: self._run_tile(cfg, seq, n, s0),
             # stable content key (object ids change across searches)
             seed_key=(n, int(seq[:: max(1, n // 64)].sum()) if n else 0),
         )
@@ -632,67 +632,108 @@ class MerPCR:
         return np.concatenate(chunks, axis=0)
 
     def _rescan_wave(self, cfg0, overflow, totals, runner, seed_key=None):
-        """Iterated async rescan waves: every still-overflowing tile's
-        next sized attempt dispatches CONCURRENTLY, then one bulk fetch
-        per wave — so the (usually 2-3) capacity-discovery attempts cost
-        waves x (RTT + slowest tile) instead of tiles x attempts serial
-        round trips. Returns {tile: (n,7) rows} for resolved tiles;
-        tiles needing an over-budget program (-> split) fall back to the
-        sequential loop. ``runner(cfg, tile_idx)`` must dispatch WITHOUT
-        blocking."""
+        """Iterated async rescan waves over SPANS: every still-unresolved
+        span's next sized attempt dispatches CONCURRENTLY, then one bulk
+        fetch per wave — capacity discovery costs waves x (RTT + slowest
+        span) instead of spans x attempts serial round trips. Spans whose
+        needed capacities exceed the HBM budget split in half INSIDE the
+        wave (the halves ride the same round), so budget-split floods
+        pipeline too. Resolved spans' exact totals are remembered per
+        plane content (``seed_key``): repeat searches re-split and size
+        in one wave. Returns {tile: (n,7) rows} covering every
+        overflowing tile, or raises after MAX_ESCALATIONS waves (hits
+        are never silently truncated). ``runner(cfg, span_start)`` must
+        dispatch WITHOUT blocking."""
         import jax
 
         if MAX_ESCALATIONS < 1:  # exhaustion guard (tests pin it to 0):
             return {}  # the sequential path raises, never truncates
+        L = cfg0.tile_len
         c_tot, x_tot, p_tot, a_tot, h_tot = totals
         seeds = getattr(self, "_rescan_seeds", None)
         if seeds is None:
             seeds = self._rescan_seeds = {}
-        state = {}  # tile -> (cfg_prev, meas)
+
+        def seed_of(s0, sl):
+            return seeds.get((seed_key, s0, sl)) if seed_key else None
+
+        spans = {}  # (start, len) -> (cfg_prev, meas, exact)
         for t in np.nonzero(overflow)[0]:
             meas = (
                 int(c_tot[t]), int(x_tot[t]), int(p_tot[t]),
                 int(a_tot[t]), int(h_tot[t]),
             )
-            # remembered per-tile totals from a prior search over the
-            # same plane: repeat searches skip capacity re-discovery
-            # (exact=True — remembered totals were measured untruncated,
-            # so they size caps directly, no truncation-ratio scaling)
-            prev = seeds.get((seed_key, int(t))) if seed_key else None
+            prev = seed_of(int(t) * L, L)
             if prev:
                 meas = tuple(max(a, b) for a, b in zip(meas, prev))
-            state[int(t)] = (cfg0, meas, prev is not None)
-        done = {}
-        for _ in range(MAX_ESCALATIONS):
-            pend = {}
-            for t, (cfg_prev, meas, exact) in list(state.items()):
-                cfg_t = cfg_prev.escalate_measured(*meas, exact=exact)
-                if cfg_t is None:
-                    cfg_t = cfg_prev  # shouldn't happen; re-run to finish
-                if self._over_budget(cfg_t):
-                    del state[t]  # sequential split path handles it
-                    continue
-                self._rescan_count += 1
-                pend[t] = (cfg_t, runner(cfg_t, t))
-            if not pend:
+            spans[(int(t) * L, L)] = (cfg0, meas, prev is not None)
+
+        done_spans = {}
+        for _ in range(MAX_ESCALATIONS + 8):
+            # split pass: replace over-budget spans with seeded halves
+            # (repeated until everything fits a compilable program)
+            changed = True
+            while changed:
+                changed = False
+                for (s0, sl), (cfg_prev, meas, exact) in list(spans.items()):
+                    cfgp = self._with_tile_len(cfg_prev, sl)
+                    cfg_t = cfgp.escalate_measured(*meas, exact=exact)
+                    if cfg_t is None:
+                        cfg_t = cfgp
+                    if (
+                        self._over_budget(cfg_t)
+                        and sl > self.MIN_SPLIT_LEN
+                    ):
+                        del spans[(s0, sl)]
+                        half = sl // 2
+                        for h0 in (s0, s0 + half):
+                            prev = seed_of(h0, half)
+                            if prev:
+                                spans[(h0, half)] = (cfg0, prev, True)
+                            else:
+                                # half the parent's totals: an unbiased
+                                # ESTIMATE, not a truncation-biased lower
+                                # bound — exact=True so the sizing skips
+                                # the ratio scaling (which compounds /2
+                                # estimates into maximal splitting)
+                                hm = tuple(max(1, m // 2) for m in meas)
+                                spans[(h0, half)] = (cfg0, hm, True)
+                        changed = True
+            if not spans:
                 break
+            # dispatch pass: every span concurrently, ONE bulk fetch
+            pend = {}
+            for (s0, sl), (cfg_prev, meas, exact) in spans.items():
+                cfgp = self._with_tile_len(cfg_prev, sl)
+                cfg_t = cfgp.escalate_measured(*meas, exact=exact)
+                if cfg_t is None:
+                    cfg_t = cfgp
+                self._rescan_count += 1
+                pend[(s0, sl)] = (cfg_t, runner(cfg_t, s0))
             self._maybe_clear_caches()
-            fetched = jax.device_get({t: p for t, (c, p) in pend.items()})
-            for t, out in fetched.items():
-                cfg_t = pend[t][0]
+            fetched = jax.device_get({k: p for k, (c, p) in pend.items()})
+            for k, out in fetched.items():
+                cfg_t = pend[k][0]
                 meas = tuple(
                     int(np.asarray(getattr(out, f)).reshape(-1)[0])
                     for f in ("c_total", "pos_total", "pair_total",
                               "anch_total", "hit_total")
                 )
-                if cfg_t.escalate_measured(*meas) is not None:
-                    state[t] = (cfg_t, meas, False)  # next wave
-                    continue
-                del state[t]
-                if seed_key:
-                    seeds[(seed_key, t)] = meas
-                    if len(seeds) > 4096:
+                if seed_key:  # remember totals for resolved AND
+                    # unresolved spans: repeat searches re-derive the
+                    # whole split structure without dispatching parents
+                    old = seeds.get((seed_key, k[0], k[1]))
+                    if old:
+                        meas_s = tuple(max(a, b) for a, b in zip(old, meas))
+                    else:
+                        meas_s = meas
+                    seeds[(seed_key, k[0], k[1])] = meas_s
+                    if len(seeds) > 8192:
                         seeds.clear()
+                if cfg_t.escalate_measured(*meas) is not None:
+                    spans[k] = (cfg_t, meas, False)  # next wave
+                    continue
+                del spans[k]
                 ht = meas[4]
                 rows = np.empty((ht, 7), dtype=np.int64)
                 for col, name in (
@@ -703,10 +744,19 @@ class MerPCR:
                         getattr(out, name)
                     ).reshape(-1)[:ht]
                 rows[:, 3] = 0
-                done[t] = rows
-            if not state:
-                break
-        return done
+                done_spans[k] = rows
+        if spans:
+            raise RuntimeError(
+                "tile capacity escalation failed to converge"
+            )
+        # group spans back into tiles, span-ascending (emission order)
+        out = {}
+        for (s0, sl) in sorted(done_spans):
+            out.setdefault(s0 // L, []).append(done_spans[(s0, sl)])
+        return {
+            t: (parts[0] if len(parts) == 1 else np.concatenate(parts))
+            for t, parts in out.items()
+        }
 
     # Stream-mode limits: records per stream chunk (rmeta row bucket) and
     # scan positions per chunk (plane memory + int32 coordinate safety).
@@ -931,9 +981,7 @@ class MerPCR:
             (np.asarray(out.c_total), np.asarray(out.pos_total),
              np.asarray(out.pair_total), np.asarray(out.anch_total),
              np.asarray(out.hit_total)),
-            lambda cfg, t: self._run_stream_tile(
-                cfg, rescan_ctx, t * cfg0.tile_len
-            ),
+            lambda cfg, s0: self._run_stream_tile(cfg, rescan_ctx, s0),
             # the stream plane is cache-stable across searches; its id
             # plus length is a stable key
             seed_key=(id(rescan_ctx[0]), len(rescan_ctx[0])),
