@@ -227,45 +227,62 @@ class MerPCR:
 
     @staticmethod
     def _dirty_of(seq: np.ndarray, packed_rec) -> tuple:
-        """(w16, wpos) WINDOW dirty rates of one record: the fraction of
-        16-base windows containing a non-ACGT base (front-end key bypass
-        rate), and the fraction dirty-in-16 but clean-in-~11 (the zone
-        whose phases still expand through the exact CSR). Measuring
-        windows directly — instead of deriving from the base rate — gets
-        BOTH clustering regimes right: scattered 1% ambiguity dirties
-        ~15% of windows, while a 5%-coverage N-RUN genome dirties only
-        ~5% (the base-rate derivation would claim 56% and compile
-        monster programs)."""
+        """(w_unit, w_pos) WINDOW dirty rates of one record, measured
+        with the scan's unit structure (never derived from the base
+        rate — derivations are wrong by an order of magnitude for
+        run-clustered dirt):
+
+        * ``w_unit`` — fraction of u32-unit windows whose KEYED bases
+          (~7..19) contain a non-ACGT base while SOME phase's W-mer
+          window is clean: exactly the units the strict front end flags
+          for table bypass (``flag = pvU & (hitu | ~vq)``). Scattered 1%
+          ambiguity: ~12% (most dirty-keyed units keep a clean phase);
+          N-run genomes: ~0 (runs have no valid phase at all).
+        * ``w_pos`` — fraction of positions dirty-in-16 but
+          clean-in-~11: the ones that expand phases through the exact
+          CSR with no table filter.
+        """
         if packed_rec is not None and len(packed_rec):
             b = packed_rec
             db = (((b & 0xF) >= 4) | ((b >> 4) >= 4)).astype(np.int32)
-            cs = np.cumsum(db)
-            if len(cs) <= 8:
+            cs = np.concatenate(([0], np.cumsum(db)))
+            if len(cs) <= 13:
                 any_d = bool(db.any())
                 return (float(any_d), 0.0)
-            # sampled window starts, byte granularity (8 B = 16 bases,
-            # 6 B = 12 ~ the W-mer window)
-            idx = np.arange(0, len(cs) - 8, max(1, len(cs) >> 14))
-            base = np.concatenate(([0], cs))
-            w16 = (base[idx + 8] - base[idx]) > 0
-            w11 = (base[idx + 6] - base[idx]) > 0
-            return (float(w16.mean()), float((w16 & ~w11).mean()))
+            # byte granularity: 1 byte = 2 bases. Unit key bases 7..19
+            # ~ bytes 3..9; phase W-mer windows ~ 6-byte windows at byte
+            # offsets 0..4; position windows: 8 B = 16 bases, 6 B ~ 11.
+            idx = np.arange(0, len(cs) - 13, max(1, len(cs) >> 14))
+            key_d = (cs[idx + 10] - cs[idx + 3]) > 0
+            phase_c = np.zeros(len(idx), dtype=bool)
+            for d in range(5):
+                phase_c |= (cs[idx + d + 6] - cs[idx + d]) == 0
+            w_unit = float((key_d & phase_c).mean())
+            w16 = (cs[idx + 8] - cs[idx]) > 0
+            w11 = (cs[idx + 6] - cs[idx]) > 0
+            return (w_unit, float((w16 & ~w11).mean()))
         if seq is None or not len(seq):
             return (0.0, 0.0)
         from .ops.encoding import SCODE
 
         db = (SCODE[seq] == AMBIG).astype(np.int32)
         cs = np.concatenate(([0], np.cumsum(db)))
-        if len(cs) <= 16:
+        if len(cs) <= 27:
             return (float(db.any()), 0.0)
-        idx = np.arange(0, len(cs) - 16, max(1, len(cs) >> 15))
+        idx = np.arange(0, len(cs) - 27, max(1, len(cs) >> 15))
+        key_d = (cs[idx + 20] - cs[idx + 7]) > 0
+        phase_c = np.zeros(len(idx), dtype=bool)
+        for d in range(8):
+            phase_c |= (cs[idx + d + 11] - cs[idx + d]) == 0
+        w_unit = float((key_d & phase_c).mean())
         w16 = (cs[idx + 16] - cs[idx]) > 0
         w11 = (cs[idx + 11] - cs[idx]) > 0
-        return (float(w16.mean()), float((w16 & ~w11).mean()))
+        return (w_unit, float((w16 & ~w11).mean()))
 
     def _base_config(
         self, tile_len: int, packed: bool = True, stream: bool = False,
-        dirty: float = 0.0, gaps_per_tile: float = 0.0,
+        dirty: float = 0.0, dirty_pos: float = 0.0,
+        gaps_per_tile: float = 0.0,
     ) -> "ScanConfig":
         from .ops.scan import default_config
 
@@ -325,6 +342,7 @@ class MerPCR:
             t16_real=m.t16_1_real if strict_n == 1 else m.t16_real,
             t16_fp=m.t16_1_fp if strict_n == 1 else m.t16_fp,
             dirty_rate=dirty,
+            dirty_pos_rate=dirty_pos,
             gaps_per_tile=gaps_per_tile,
         )
 
@@ -424,7 +442,9 @@ class MerPCR:
         if dw is None:
             dw = dcache["_dirty"] = self._dirty_of(seq, packed_rec)
         cfg0 = self._base_config(
-            tile_len, packed=packed, dirty=self._quantize_dirty(dw[1]),
+            tile_len, packed=packed,
+            dirty=self._quantize_dirty(dw[0]),
+            dirty_pos=self._quantize_dirty(dw[1]),
         )
         L = cfg0.tile_len
         n_tiles = -(-total_scan // L)
@@ -850,7 +870,8 @@ class MerPCR:
         gpt = int(len(items) * tile_len / max(total_scan, 1)) + 1
         cfg0 = self._base_config(
             tile_len, packed=True, stream=True,
-            dirty=self._quantize_dirty(dirty[1]),
+            dirty=self._quantize_dirty(dirty[0]),
+            dirty_pos=self._quantize_dirty(dirty[1]),
             # pow2-ceiling quantized so nearby record counts share one
             # compiled program
             gaps_per_tile=float(1 << (gpt - 1).bit_length()),

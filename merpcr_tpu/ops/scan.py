@@ -1384,6 +1384,7 @@ def default_config(
     t16_real: float = 0.0,
     t16_fp: float = 1.0,
     dirty_rate: float = 0.0,
+    dirty_pos_rate: float = 0.0,
     gaps_per_tile: float = 0.0,
 ) -> ScanConfig:
     """Capacity heuristics.
@@ -1394,15 +1395,16 @@ def default_config(
     tile that still overflows is retried with escalated capacities, so
     undersizing costs a retry, never correctness.
 
-    ``dirty_rate`` is the genome's measured dirty-in-16-but-clean-in-11
-    window rate (quantized by the engine): a span bypasses the front-end
-    tables AND stays live only when its KEYED bases are dirty while some
-    phase's W-mer window is clean — positions fully inside an N-run have
-    no valid phase and cost nothing, so this boundary-zone rate (not the
-    raw window-dirty rate, and never a base-rate derivation — both wrong
-    by an order of magnitude for run-clustered dirt) is what inflates
-    the compact AND expand stages. Without it a 1%-scattered-IUPAC
-    genome rescans every tile.
+    ``dirty_rate`` is the genome's measured UNIT bypass rate (keyed
+    bases dirty AND some phase's W-mer clean — the exact flag condition;
+    positions fully inside an N-run have no valid phase and cost
+    nothing) and ``dirty_pos_rate`` the dirty-in-16-clean-in-11 POSITION
+    rate (phases that expand through the exact CSR with no table
+    filter). Both are measured with the scan's window structure, never
+    derived from the base rate — derivations are wrong by an order of
+    magnitude for run-clustered dirt. Without these terms a
+    1%-scattered-IUPAC genome rescans every tile; with a naive
+    derivation an N-run genome compiles monster programs.
 
     ``gaps_per_tile`` is the stream path's expected inter-record gap
     count per tile: each 8-base dirty gap flags ~3 adjacent units and
@@ -1437,7 +1439,7 @@ def default_config(
     # truncation false positives only exist for W > bloom_bits/2
     trunc_fp = E / float(1 << bloom_bits) if bloom_bits < 2 * wordsize else 0.0
     strict = strict and packed  # strict front end exists only packed
-    d = min(max(dirty_rate, 0.0), 1.0)  # dirty16-clean11 window rate
+    d = min(max(dirty_rate, 0.0), 1.0)  # unit bypass rate (measured)
     if packed:
         # unit/group flagged if any of its phases is a real bucket key,
         # plus (mult-hash fallback only) bloom false positives, PLUS
@@ -1472,9 +1474,8 @@ def default_config(
     # phase-table density; the fallback expands every valid phase of a
     # flagged group
     # dirty-keyed spans with a CLEAN W-mer window expand their phases
-    # through the exact CSR (no table filter) — the same boundary-zone
-    # rate that drives the unit term
-    dirty_pos = d if packed else 0.0
+    # through the exact CSR (no table filter)
+    dirty_pos = min(max(dirty_pos_rate, 0.0), 1.0) if packed else 0.0
     if packed and strict:
         # Positions only expand inside strict-FLAGGED units (the expand
         # stage masks nb by the compacted strict flags), so the realistic
