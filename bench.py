@@ -397,7 +397,14 @@ def main():
 
     if args.matrix:
         want = set(args.rows.split(",")) if args.rows else None
-        results = []
+        # --rows refreshes the named rows IN PLACE when the artifact
+        # already exists (partial reruns after a targeted change must not
+        # drop the other rows); a full run still rewrites the file.
+        prior = {}
+        if want and os.path.exists(args.matrix):
+            with open(args.matrix) as fh:
+                for res in json.load(fh):
+                    prior[res["detail"]["row"]] = res
         for row, cfg in MATRIX:
             if want and row not in want:
                 continue
@@ -405,7 +412,8 @@ def main():
                 repeat=args.repeat, row=row, cold=args.cold, **cfg
             )
             print(json.dumps(res), flush=True)
-            results.append(res)
+            prior[row] = res
+        results = [prior[row] for row, _ in MATRIX if row in prior]
         with open(args.matrix, "w") as fh:
             json.dump(results, fh, indent=1)
         return
