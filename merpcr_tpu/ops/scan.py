@@ -1061,8 +1061,8 @@ def _scan_tile_impl(
         # an anchor-flood tile (tens of thousands of real anchors) at
         # AC=32 pays thousands of sequential lax.map iterations
         # (~2 ms each: measured 0.8 Mbp/s on a repeat-tract genome).
-        # Bounded by a ~2M-lane per-chunk memory model so large margins
-        # (R up to 20001, rank-chunked at RC=2048) stay in budget.
+        # Bounded by an ~8M-lane per-chunk memory model so large margins
+        # (R up to 20001, rank-chunked at RC=8192) stay in budget.
         if cfg.anch_cap % 32:
             AC = cfg.anch_cap
         else:
@@ -1073,7 +1073,7 @@ def _scan_tile_impl(
             # per-iteration-overhead-bound, so this is the cheap end of
             # the curve. Floor-cap configs still get AC=32 via the
             # anch_cap//128 term.
-            mem_lanes = (1 << 23) // max(min(R, 2048) * cfg.p2_max, 1)
+            mem_lanes = (1 << 23) // max(min(R, 8192) * cfg.p2_max, 1)
             ac = min(4096, max(32, cfg.anch_cap // 128), max(32, mem_lanes))
             AC = 1 << (ac.bit_length() - 1)  # pow2 => divides anch_cap
         n_ac = cfg.anch_cap // AC
@@ -1155,10 +1155,12 @@ def _scan_tile_impl(
                     # through ONE nested lax.map body — peak intermediate
                     # is [AC, RC, P2MAX] and compile time is chunk-count-
                     # independent. Offsets are a static host-side table.
-                    RC = 2048  # peak intermediate [AC, RC, P2MAX] ~1.6M
-                    #            lanes; fewer chunks matter more than the
-                    #            chunk size (lax.map per-iteration cost:
-                    #            RC=512 at -M 10000 paid ~40 iterations)
+                    RC = 8192  # peak intermediate [AC=32, RC, P2MAX]
+                    #            ~6.5M lanes (the 8M-lane budget); fewer
+                    #            chunks matter more than the chunk size
+                    #            (lax.map per-iteration cost: RC=512 at
+                    #            -M 10000 paid ~40 iterations, RC=2048
+                    #            paid 10)
                     n_ck = -(-R // RC)
                     offs = np.zeros((n_ck, RC), dtype=np.int32)
                     for r in range(n_ck * RC):
