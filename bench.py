@@ -404,7 +404,15 @@ def main():
         if want and os.path.exists(args.matrix):
             with open(args.matrix) as fh:
                 for res in json.load(fh):
-                    prior[res["detail"]["row"]] = res
+                    rname = res.get("detail", {}).get("row")
+                    if rname is None:
+                        print(
+                            "warning: dropping matrix entry without "
+                            "detail.row (old/hand-edited artifact?)",
+                            file=sys.stderr,
+                        )
+                        continue
+                    prior[rname] = res
         for row, cfg in MATRIX:
             if want and row not in want:
                 continue

@@ -1063,17 +1063,28 @@ def _scan_tile_impl(
         # (~2 ms each: measured 0.8 Mbp/s on a repeat-tract genome).
         # Bounded by an ~8M-lane per-chunk memory model so large margins
         # (R up to 20001, rank-chunked at RC=8192) stay in budget.
+        # Rank lanes ACTUALLY materialized per chunk: the static-slice
+        # path (R <= 257) allocates [AC, R, P2MAX]; the rank-chunked path
+        # pads to [AC, RC, P2MAX] with RC a pow2 >= R capped at 8192 —
+        # the budget below must divide by that padded width, not R, or
+        # 257 < R < 8192 would overshoot the budget by up to ~32x.
+        if R <= 257:
+            r_lanes = R
+            RC = 0  # unused on the static-slice path
+        else:
+            RC = min(8192, 1 << (R - 1).bit_length())
+            r_lanes = RC
         if cfg.anch_cap % 32:
             AC = cfg.anch_cap
         else:
-            # ~8M-lane per-chunk budget: [AC, RC<=2048, p2_max] int32 is
+            # ~8M-lane per-chunk budget: [AC, r_lanes, p2_max] int32 is
             # <= 32 MB. On anchor-flood spans bigger chunks buy ~5%
             # (AC 512 -> 2048 measured 6.9 -> 6.55 s on the 47 Mbp
             # lowcomplex-repeat workload): the stage is lane-bound, not
             # per-iteration-overhead-bound, so this is the cheap end of
             # the curve. Floor-cap configs still get AC=32 via the
             # anch_cap//128 term.
-            mem_lanes = (1 << 23) // max(min(R, 8192) * cfg.p2_max, 1)
+            mem_lanes = (1 << 23) // max(r_lanes * cfg.p2_max, 1)
             ac = min(4096, max(32, cfg.anch_cap // 128), max(32, mem_lanes))
             AC = 1 << (ac.bit_length() - 1)  # pow2 => divides anch_cap
         n_ac = cfg.anch_cap // AC
@@ -1155,12 +1166,11 @@ def _scan_tile_impl(
                     # through ONE nested lax.map body — peak intermediate
                     # is [AC, RC, P2MAX] and compile time is chunk-count-
                     # independent. Offsets are a static host-side table.
-                    RC = 8192  # peak intermediate [AC=32, RC, P2MAX]
-                    #            ~6.5M lanes (the 8M-lane budget); fewer
-                    #            chunks matter more than the chunk size
-                    #            (lax.map per-iteration cost: RC=512 at
-                    #            -M 10000 paid ~40 iterations, RC=2048
-                    #            paid 10)
+                    # RC (set with AC above) is a pow2 >= R capped at
+                    # 8192 — at -M 10000 that is [AC, 8192, P2MAX], the
+                    # 8M-lane budget; fewer chunks matter more than the
+                    # chunk size (lax.map per-iteration cost: RC=512 at
+                    # -M 10000 paid ~40 iterations, RC=2048 paid 10).
                     n_ck = -(-R // RC)
                     offs = np.zeros((n_ck, RC), dtype=np.int32)
                     for r in range(n_ck * RC):
