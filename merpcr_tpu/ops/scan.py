@@ -1426,10 +1426,15 @@ def default_config(
     derivation an N-run genome compiles monster programs.
 
     ``gaps_per_tile`` is the stream path's expected inter-record gap
-    count per tile: each 8-base dirty gap flags ~3 adjacent units and
-    expands a handful of valid phases. Gaps are CLUSTERED dirt — running
-    them through the scattered dirty_rate model overestimates ~5x and
-    measurably slows the scaffold scan through oversized pos machinery.
+    count per tile. Gaps are CLUSTERED dirt — running them through the
+    scattered dirty_rate model overestimates ~5x and measurably slows
+    the scaffold scan through oversized pos machinery. The per-gap
+    coefficients are MEASURED on the 3000-scaffold bench workload
+    (tools/exp_gap_totals.py): ~1.1 flagged units and ~2.1 expanded
+    positions per gap; 1.5/2.5 below carry ~35% headroom on top of the
+    pow2 gap-count quantization (+27%) and the 1.5x sizing multiplier —
+    the old 3/10 estimates pushed pos_cap to ~4x reality, which both
+    forced G=1 dispatch and paid oversized pos-stage lanes every tile.
     """
     # The margin is a RUNTIME value; shapes use the bucketed cap so nearby
     # margins share one compiled program AND one buffer geometry (device
@@ -1486,7 +1491,7 @@ def default_config(
     else:
         p_unit = p_real + trunc_fp + d
         units = tile_len
-    expect_units = int(units * min(p_unit, 1.0) + 3 * gaps_per_tile)
+    expect_units = int(units * min(p_unit, 1.0) + 1.5 * gaps_per_tile)
     # position expectation (packed expand stage): with the exact phase
     # table a position expands iff its W-mer is a real bucket key (strict:
     # AND its extension bases are consistent), so the count tracks the
@@ -1521,7 +1526,7 @@ def default_config(
         )
     else:
         expect_pos = stride * expect_units if packed else expect_units
-    expect_pos = int(expect_pos + 10 * gaps_per_tile)
+    expect_pos = int(expect_pos + 2.5 * gaps_per_tile)
     # E[sum of bucket counts] over the tile is exactly L * E / 4^W; in
     # strict mode only t16-passing positions (real 16-base matches + hash
     # false positives among expanded positions) reach pair expansion
