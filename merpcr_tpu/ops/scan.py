@@ -1544,9 +1544,18 @@ def default_config(
     # made the batched small-tile scan SLOWER (49 -> 61 ms/batch) — the
     # compact/expand stages' fixed cost is not lane-bound at these sizes,
     # and sub-1024 (non 8x128) lane counts pad/relayout poorly.
-    cpos_cap = min(max(1024, int(1.5 * expect_units) + 256), units)
-    pos_cap = min(max(1024, int(1.5 * expect_pos) + 256), tile_len)
-    cand_cap = min(max(2048, int(1.3 * expect_cands) + 512), 4 * tile_len)
+    # Caps round UP to multiples of 128: _rank_invert's blocked scans
+    # need size % 128 == 0 for their fast path (the 1-D associative_scan
+    # fallback costs ~1 ms fixed per call), and non-8x128 lane counts
+    # pad/relayout poorly throughout.
+    def _al(x):
+        return -(-x // 128) * 128
+
+    cpos_cap = min(_al(max(1024, int(1.5 * expect_units) + 256)), units)
+    pos_cap = min(_al(max(1024, int(1.5 * expect_pos) + 256)), tile_len)
+    cand_cap = min(
+        _al(max(2048, int(1.3 * expect_cands) + 512)), 4 * tile_len
+    )
     return ScanConfig(
         wordsize=wordsize,
         margin=mcap,
