@@ -112,6 +112,18 @@ class ScanConfig:
     #                    scan gathers (0: qbloom_s/t16; 1: qbloom_s1/t16_1
     #                    — ext positions Hamming-1-wildcarded at build)
     t16_bits: int = 0
+    # Dirty-genome phase filter (strict mode): units whose KEYED bases are
+    # dirty bypass the strict table (semantics — a dirty base can match
+    # through IUPAC expansion or literal equality), and without a filter
+    # every W-clean phase of every bypassed unit expands through the CSR:
+    # a 1%-scattered-IUPAC genome flags ~12% of units and pos machinery
+    # explodes. A valid phase's W-mer WINDOW is clean by definition, so
+    # its W-mer value is real — one ``bloom`` gather per (unit, phase) at
+    # compacted-unit granularity prunes dirty-span phases to actual
+    # bucket keys (exact for W <= 12; sound prefix filter above). Armed
+    # by default_config when the measured dirty rate is non-trivial, so
+    # clean-genome programs are unchanged.
+    dirty_bloom: bool = False
     # Stream mode: the tile holds MANY concatenated records separated by
     # dirty-nibble gaps (which the ambiguity masks already exclude, so no
     # scan window or candidate ever crosses a boundary). Per-candidate
@@ -788,6 +800,26 @@ def _scan_tile_impl(
                 pha = pha | ((Bac << (32 - 2 * d)) & m2w)
             ok_d = (pha == 0) & (cpos * SPH + d < n_scan)
             nbv = nbv | (ok_d.astype(jnp.uint32) << d)
+        if cfg.strict and cfg.dirty_bloom:
+            # Dirty-span phase filter: a valid (W-clean) phase's W-mer is
+            # a real value even when the unit's keyed window is dirty —
+            # one bloom gather per (compacted unit, phase) keeps only
+            # actual bucket keys (exact occupancy at W <= 12; sound
+            # prefix filter above). Garbage W-mers of invalid phases are
+            # masked by nbv. SPH * cpos_cap gathers — compacted-lane
+            # granularity, armed only for dirty genomes.
+            shiftb = 2 * W - cfg.bloom_bits
+            wbf = jnp.zeros_like(nbv)
+            for d in range(SPH):
+                wm = (Ac >> (2 * d)) & m2w
+                if 2 * (d + W) > 32:
+                    wm = wm | ((Bc << (32 - 2 * d)) & m2w)
+                bkd = (wm >> shiftb) if shiftb else wm
+                word_d = table.bloom[(bkd >> 5).astype(jnp.int32)]
+                okd = _bit_at(word_d, bkd & 31) == 1
+                wbf = wbf | (okd.astype(jnp.uint32) << d)
+        else:
+            wbf = None
         if cfg.exact_group:
             NPS = 5 - (S_.bit_length() - 1)  # log2(32 / S)
             # ptab is build-time FOLDED (top span base(s) dropped — only
@@ -823,7 +855,10 @@ def _scan_tile_impl(
                     nbt_p = ptab_bits(Akp & m2kb)
                     vcc_p = (Aakp & m2kb) == 0
                     nbv_p = (nbv >> (S_ * p2)) & ms
-                    sub = jnp.where(vcc_p, nbt_p & nbv_p, nbv_p)
+                    dirty_p = nbv_p
+                    if wbf is not None:  # dirty-span phases: bloom-filter
+                        dirty_p = nbv_p & ((wbf >> (S_ * p2)) & ms)
+                    sub = jnp.where(vcc_p, nbt_p & nbv_p, dirty_p)
                     nb = nb | (sub << (S_ * p2))
             else:
                 keyc = Ac & m2kb
@@ -835,7 +870,9 @@ def _scan_tile_impl(
                 vcc = (Aac & m2kb) == 0
                 nb = jnp.where(vcc, nbt & nbv, nbv)
         else:
-            nb = nbv
+            # W >= 14 strict fallback has no exact phase table; the bloom
+            # prefix filter (when armed) prunes dirty-span phases here too
+            nb = nbv if wbf is None else (nbv & wbf)
         nb = jnp.where(cvalid, nb, 0)
         if stop == "nb":
             return _stopped(nb)
@@ -1498,8 +1535,16 @@ def default_config(
     # phase-table density; the fallback expands every valid phase of a
     # flagged group
     # dirty-keyed spans with a CLEAN W-mer window expand their phases
-    # through the exact CSR (no table filter)
+    # through the exact CSR (no table filter) — unless the dirty_bloom
+    # phase filter is armed, which prunes them to actual bucket keys at
+    # the nb stage (rate ~ SPH * E1 / 2^bloom_bits + the real-key rate,
+    # which sp_density already covers)
     dirty_pos = min(max(dirty_pos_rate, 0.0), 1.0) if packed else 0.0
+    dirty_bloom = bool(strict and dirty_pos >= 1.0 / 256)
+    if dirty_bloom:
+        dirty_pos = min(
+            dirty_pos, 8.0 * E1 / float(1 << min(2 * wordsize, 24))
+        )
     if packed and strict:
         # Positions only expand inside strict-FLAGGED units (the expand
         # stage masks nb by the compacted strict flags), so the realistic
@@ -1567,6 +1612,7 @@ def default_config(
         strict=strict,
         strict_n=strict_n if strict else 0,
         t16_bits=t16_bits,
+        dirty_bloom=dirty_bloom,
         stream=stream,
         tile_len=tile_len,
         lead=lead,
