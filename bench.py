@@ -171,6 +171,10 @@ def _cold_runs(sts_path, fa_path, margin, mismatches, three_prime, wordsize,
     out = {}
     for key, extra in (
         ("cold_s", {}),
+        # a SECOND fresh process: the first run persisted its rescan-
+        # capacity seeds (engine._seed_store), so flood-content rows
+        # converge in one wave here — the steady per-machine one-shot cost
+        ("cold_repeat_s", {}),
         ("cold_nocache_s", {"MERPCR_TPU_CACHE": "0"}),
     ):
         for attempt in range(retries):
