@@ -144,7 +144,7 @@ def _ensure_live_backend(probe_timeout_s: int = 240) -> None:
 
 
 def _cold_runs(sts_path, fa_path, margin, mismatches, three_prime, wordsize,
-               iupac, retries=5):
+               iupac, retries=5, keys=None):
     """One-shot FRESH-PROCESS CLI wall times (interpreter + load + compile
     + scan + emit — what a run-once user actually pays): with the
     persistent XLA cache warm, and with it disabled.
@@ -169,14 +169,17 @@ def _cold_runs(sts_path, fa_path, margin, mismatches, three_prime, wordsize,
     if iupac:
         cli += ["-I", "1"]
     out = {}
-    for key, extra in (
-        ("cold_s", {}),
-        # a SECOND fresh process: the first run persisted its rescan-
-        # capacity seeds (engine._seed_store), so flood-content rows
-        # converge in one wave here — the steady per-machine one-shot cost
-        ("cold_repeat_s", {}),
-        ("cold_nocache_s", {"MERPCR_TPU_CACHE": "0"}),
-    ):
+    if keys is None:
+        keys = (
+            ("cold_s", {}),
+            # a SECOND fresh process: the first run persisted its rescan-
+            # capacity seeds (engine._seed_store), so flood-content rows
+            # converge in one wave here — the steady per-machine one-shot
+            # cost
+            ("cold_repeat_s", {}),
+            ("cold_nocache_s", {"MERPCR_TPU_CACHE": "0"}),
+        )
+    for key, extra in keys:
         for attempt in range(retries):
             t0 = time.perf_counter()
             r = subprocess.run(
@@ -350,11 +353,62 @@ def main():
         "TPU, so the children can — the tunnel admits one claim at a "
         "time)",
     )
+    ap.add_argument(
+        "--cold-tpu", nargs="?", const="BENCH_COLD.json", default=None,
+        metavar="OUT.json",
+        help="REAL-TPU cold one-shots for the --rows rows (children claim "
+        "the tunnel TPU serially; this parent never does). Measures "
+        "cold_tpu_first_s (first-ever run: device claim + any uncached "
+        "compiles + capacity discovery) and cold_tpu_s (a second fresh "
+        "process: caches + persisted seeds warm). Merges into the "
+        "existing artifact by row.",
+    )
     ap.add_argument("--content", default="random",
                     help="genome content: random|masked_nruns|lowcomplex")
     ap.add_argument("--stsgen", default="random",
                     help="STS shape: random|repeat|shared")
     args = ap.parse_args()
+
+    if args.cold_tpu:
+        # Ambient (TPU) backend for the CHILDREN only: this parent never
+        # initializes jax, so the tunnel's one-claim-at-a-time rule is
+        # satisfied by running the children serially.
+        want = set(args.rows.split(",")) if args.rows else {
+            "sparse_1k", "dense_50k", "lowcomplex_repeat"
+        }
+        prior = {}
+        if os.path.exists(args.cold_tpu):
+            with open(args.cold_tpu) as fh:
+                for res in json.load(fh):
+                    prior[res.get("row")] = res
+        for row, cfg in MATRIX:
+            if row not in want:
+                continue
+            with tempfile.TemporaryDirectory() as td:
+                sts_path, fa_path, n = gen_data(
+                    td, cfg.get("mbp", 47.0), cfg.get("nsts", 1000),
+                    planted=cfg.get("planted", 0),
+                    n_records=cfg.get("records", 1),
+                    content=cfg.get("content", "random"),
+                    stsgen=cfg.get("stsgen", "random"),
+                    iupac_genome=cfg.get("iupac_genome", 0.0),
+                )
+                got = _cold_runs(
+                    sts_path, fa_path, cfg.get("margin", 50),
+                    cfg.get("mismatches", 0), cfg.get("three_prime", 1),
+                    cfg.get("wordsize", 11), cfg.get("iupac", 0),
+                    keys=(("cold_tpu_first_s", {}), ("cold_tpu_s", {})),
+                )
+            res = prior.get(row) or {
+                "row": row, "genome_mbp": cfg.get("mbp", 47.0)
+            }
+            res.update(got)
+            prior[row] = res
+            print(json.dumps(res), flush=True)
+        results = [prior[row] for row, _ in MATRIX if row in prior]
+        with open(args.cold_tpu, "w") as fh:
+            json.dump(results, fh, indent=1)
+        return
 
     if args.cold_only:
         # Default the children to the CPU backend: on this box a TPU
