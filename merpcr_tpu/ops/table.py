@@ -316,9 +316,16 @@ def _build_strict(
         rp = np.ones((E, PROJ_BASES), dtype=np.int64)
         np.cumprod(cnt[:, :-1], axis=1, out=rp[:, 1:])
         # bucket entries by (product magnitude, suffix class) so the
-        # m-enumeration wastes at most 4x on the m < prod mask
+        # m-enumeration wastes at most 4x on the m < prod mask. The loop
+        # must run while prods may exist in (lim//4, lim] — the previous
+        # `lim < prod.max()+1` condition exited BEFORE the bucket holding
+        # any non-power-of-4 product (e.g. prod=3 from one degenerate
+        # IUPAC 'H' in a keyed extension position needs lim=4, but
+        # 4 < 3+1 is false), silently dropping those phases' inserts and
+        # with them real IUPAC-mode hits. Caught by the round-5
+        # arbitrary-content differential property test.
         lim = 1
-        while lim < int(prod.max(initial=1)) + 1:
+        while lim // 4 < int(prod.max(initial=1)):
             in_lim = (prod > lim // 4) & (prod <= lim)
             for sc in np.unique(s[in_lim]):
                 sel = np.flatnonzero(in_lim & (s == sc))

@@ -83,6 +83,103 @@ def test_extension_base_mismatch_pruned_not_lost(tmp_path):
 
 
 @needs_oracle
+def test_iupac_nonpow4_insert_products(tmp_path):
+    """Degenerate IUPAC primer letters whose allowed-code products are
+    NOT powers of 4 (one 'H' -> 3, 'H'+'R' -> 6, one 'R' -> 2): the
+    strict build's magnitude-bucketed enumeration previously SKIPPED
+    every bucket holding a non-power-of-4 product (`lim < prod+1` exited
+    before the prod=3 bucket at lim=4), silently dropping those phases'
+    keys and with them real IUPAC hits on clean genome. Found round 5 by
+    the arbitrary-content differential property; this is the
+    deterministic pin. The old test's R,Y pair multiplied to exactly 4 —
+    the one value that dodged the bug."""
+    rng = random.Random(29)
+    p2 = "CTCTTGGAATCCTATCTCACTG"
+    prod = 180
+    cases = [
+        ("GGCTCAGAGTATTHGGGATGCA", {"H": "A"}),  # prod 3
+        ("GGCTCAGAGTATTHGRGATGCA", {"H": "C", "R": "G"}),  # prod 6
+        ("GGCTCAGAGTATTRGGGATGCA", {"R": "A"}),  # prod 2
+        ("GGCTCAGAGTATTHGHGATHCA", {"H": "T"}),  # prod 27
+    ]
+    for p1, subs in cases:
+        g = list("".join(rng.choices(BASES, k=3000)))
+        site = p1
+        for k, v in subs.items():
+            site = site.replace(k, v)
+        g[700 : 700 + len(site)] = site
+        g[700 + prod - len(p2) : 700 + prod] = p2
+        sts, fa = _write(
+            tmp_path, f"S1\t{p1}\t{p2}\t{prod}\n", _fa("".join(g))
+        )
+        params = dict(iupac_mode=1)
+        ref = _ref_out(sts, fa, **params)
+        assert ref.count("\n") == 1, (p1, ref)  # the hit really exists
+        assert _tpu_out(sts, fa, **params) == ref, p1
+
+
+def test_strict_build_key_completeness_vs_slow_enumeration():
+    """Exhaustive check of _build_strict against an independent
+    slow-path enumeration for a degenerate-letter-heavy entry: every
+    (phase, consistent-window) key must be present (missing keys = lost
+    hits; extra keys only cost compact lanes)."""
+    import itertools
+
+    from merpcr_tpu.ops.encoding import PRIMER_CODE_LUT, nib_match_matrix
+    from merpcr_tpu.ops.table import PROJ_BASES, PROJ_UNIT_START, _build_strict
+
+    p1 = "TCGAGATAATCTAAAHHTCXAC"  # the round-5 falsifying primer
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    W = 11
+    ehash = np.zeros(1, np.uint64)
+    for i, c in enumerate(p1[:W]):
+        ehash[0] |= np.uint64(code[c]) << np.uint64(2 * i)
+    p1b = np.zeros((1, 24), np.uint8)
+    p1b[0, : len(p1)] = np.frombuffer(p1.encode(), np.uint8)
+    qs, _t, _b, _r = _build_strict(
+        ehash, np.zeros(1, np.int32), np.asarray([len(p1)], np.int32),
+        p1b, W, True,
+    )
+    got = set()
+    for w in np.nonzero(qs)[0]:
+        word = int(qs[w])
+        for b in range(32):
+            if (word >> b) & 1:
+                got.add(int(w) * 32 + b)
+
+    nm = nib_match_matrix(True)[:4, :].astype(bool)
+    C = PROJ_UNIT_START
+    wcode = [(int(ehash[0]) >> (2 * i)) & 3 for i in range(C + PROJ_BASES)]
+    slow = set()
+    for d in range(8):
+        t0 = C - d
+        allowed, dead = [], False
+        for k in range(PROJ_BASES):
+            o = t0 + k
+            if o < W:
+                al = [wcode[o]]
+            elif o < len(p1):
+                pc = int(PRIMER_CODE_LUT[ord(p1[o])])
+                al = [c for c in range(4) if nm[c, pc]]
+            else:
+                al = [0, 1, 2, 3]
+            if not al:
+                dead = True
+                break
+            allowed.append(al)
+        if dead:
+            continue
+        for combo in itertools.product(*allowed):
+            v = 0
+            for k, c in enumerate(combo):
+                v |= c << (2 * k)
+            slow.add(v)
+    assert slow, "slow enumeration produced nothing (test bug)"
+    missing = slow - got
+    assert not missing, f"{len(missing)} keys missing of {len(slow)}"
+
+
+@needs_oracle
 def test_hash_offset_nonzero_strict(tmp_path):
     """Primer1 with leading ambiguity: the W-mer key starts at
     hash_offset > 0, so strict extension indexing is shifted
