@@ -295,6 +295,11 @@ MATRIX = [
     ("mismatch_2", dict(nsts=1000, mismatches=2)),
     ("x0_no3prime", dict(nsts=1000, three_prime=0)),
     ("scaffolds_3000", dict(mbp=30.0, nsts=1000, records=3000)),
+    # matched-size control for the stream row: the honest baseline for
+    # "scaffold overhead" is a single record of the SAME 30 Mbp (a fixed
+    # ~25 ms tunnel round trip per search makes 30 Mbp rows read lower
+    # than 47 Mbp rows regardless of path — see CLAUDE.md)
+    ("single_30mbp", dict(mbp=30.0, nsts=1000)),
     ("w12", dict(nsts=1000, wordsize=12)),
     ("w13", dict(nsts=1000, wordsize=13)),
     ("w14_multhash", dict(nsts=1000, wordsize=14)),

@@ -24,6 +24,7 @@ ROWS = {
     "mismatch_2": ("1,000 STS, 2 mismatches (-N 2)", "~3 Mbp/s"),
     "x0_no3prime": ("1,000 STS, -X 0", "~3 Mbp/s"),
     "scaffolds_3000": ("3,000 x 10 kb scaffolds (30 Mbp)", "~3 Mbp/s"),
+    "single_30mbp": ("single 30 Mbp record (scaffold control)", "3.2 Mbp/s"),
     "w12": ("1,000 STS, W=12", "~3 Mbp/s"),
     "w13": ("1,000 STS, W=13", "~3 Mbp/s"),
     "w14_multhash": ("1,000 STS, W=14", "~3 Mbp/s"),
@@ -32,7 +33,7 @@ ROWS = {
     "margin_10000": ("1,000 STS, -M 10000, 100 hits", "~3 Mbp/s"),
     "masked_nruns": ("soft-masked + N-run genome (GRCh38-like)", "~3 Mbp/s"),
     "lowcomplex_repeat": (
-        "low-complexity tracts vs repeat primers", "~3 Mbp/s"),
+        "low-complexity tracts vs repeat primers", "0.16 Mbp/s*"),
     "shared_wmer_10k": ("10,000 STS sharing ~100 W-mers", "~3 Mbp/s"),
 }
 
@@ -62,7 +63,9 @@ def main():
         row = res["detail"].get("row")
         label, ref = ROWS.get(row, (row, "~3.2 Mbp/s"))
         v = res["value"]
-        speed = v / REF_RATE
+        # content-matched baseline for the flood row (README footnote):
+        # the reference measured 0.159 Mbp/s on identical input
+        speed = v / (0.159 if row == "lowcomplex_repeat" else REF_RATE)
         if have_cold:
             c = cold.get(row)
             cs = f"{c['cold_s']:.0f} s" if c and "cold_s" in c else "—"
