@@ -231,6 +231,48 @@ class TestSharedWmerFlood:
         # seeded second search: no capacity re-discovery waves
         assert r2 <= r1, (r1, r2)
 
+    def test_capacity_seeds_persist_across_processes(
+        self, tmp_path, monkeypatch
+    ):
+        """Measured flood totals persist to <cache_dir>/rescan_seeds.json
+        keyed by (table content, params) digest, and a FRESH engine in a
+        fresh seed-store state picks them up: its discovery converges in
+        at most one wave per overflowing span with byte-identical output
+        (engine._seed_store; round-5 cold-flood fix)."""
+        import json
+
+        import merpcr_tpu.engine as E
+
+        monkeypatch.setenv("MERPCR_TPU_CACHE_DIR", str(tmp_path / "cache"))
+        monkeypatch.setattr(E, "_SEED_STORE", None)  # fresh store state
+        rng = random.Random(31)
+        sts_text, shared = gen_shared_wmer_sts(
+            rng, 700, wordsize=11, n_buckets=1
+        )
+        genome = gen_tandem_tract(rng, 14_000, shared[0], tract_frac=0.12)
+        sts = tmp_path / "w.sts"
+        fa = tmp_path / "w.fa"
+        sts.write_text(sts_text)
+        write_fasta(str(fa), genome)
+        out1, eng1 = _run(
+            merpcr_tpu, str(sts), str(fa), dict(margin=50, mismatches=2)
+        )
+        r1 = eng1._rescan_count
+        assert r1 >= 1  # the flood really overflowed
+        store_path = tmp_path / "cache" / "rescan_seeds.json"
+        assert store_path.exists()
+        assert json.load(open(store_path))  # non-empty
+
+        # "fresh process": new engine + module store reloaded from disk
+        monkeypatch.setattr(E, "_SEED_STORE", None)
+        out2, eng2 = _run(
+            merpcr_tpu, str(sts), str(fa), dict(margin=50, mismatches=2)
+        )
+        assert out2 == out1
+        # seeded discovery: one sized dispatch per overflowing span, no
+        # escalation ladder (eng1 paid the multi-wave discovery)
+        assert eng2._rescan_count <= r1, (r1, eng2._rescan_count)
+
     def test_many_buckets_shared(self, oracle_pkg, tmp_path):
         """Shared-W-mer-heavy set spread over several buckets (the
         realistic version: primer libraries share W-mers heavily)."""
