@@ -52,6 +52,26 @@ def mutate(rng, s, n_mut):
     return "".join(s)
 
 
+IUPAC_EXP = {
+    "R": "AG", "Y": "CT", "K": "GT", "M": "AC", "S": "CG", "W": "AT",
+    "B": "CGT", "D": "AGT", "H": "ACT", "V": "ACG", "N": "ACGT",
+}
+
+
+def resolve_iupac(rng, s):
+    """Replace each primer IUPAC letter with a random member of its
+    expansion set — a CLEAN genome site that matches the degenerate
+    primer through IUPAC semantics. Planting the primer verbatim puts
+    the ambiguity letter into the GENOME, which routes those units
+    through the dirty-bypass path; resolved plants exercise the strict
+    TABLE path for degenerate primers instead (the round-5 lost-hits
+    bug hid in exactly that corner for four rounds)."""
+    return "".join(
+        rng.choice(IUPAC_EXP[c.upper()]) if c.upper() in IUPAC_EXP else c
+        for c in s
+    )
+
+
 def gen_case(rng, case_idx):
     wordsize = rng.choice([5, 7, 11, 11, 11, 13, 14, 16])
     margin = rng.choice([0, 5, 50, 50, 137])
@@ -144,6 +164,9 @@ def gen_case(rng, case_idx):
                 pos = rng.randrange(0, max(1, glen - prod))
             a = mutate(rng, p1, rng.randrange(0, mismatches + 2))
             b = mutate(rng, p2, rng.randrange(0, mismatches + 2))
+            if rng.random() < 0.7:  # see resolve_iupac: clean-site plants
+                a = resolve_iupac(rng, a)
+                b = resolve_iupac(rng, b)
             if direct:
                 g[pos : pos + len(a)] = a
                 g[pos + prod - len(b) : pos + prod] = b
