@@ -24,6 +24,6 @@ if _os.environ.get("MERPCR_TPU_PLATFORM"):
 from .engine import MerPCR
 from .models import FASTARecord, STSHit, STSRecord
 
-__version__ = "1.3.0"
+__version__ = "1.4.0"
 
 __all__ = ["MerPCR", "STSRecord", "FASTARecord", "STSHit", "__version__"]
