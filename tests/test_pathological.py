@@ -66,6 +66,76 @@ def _case(tmp_path, sts_text, genome, params, oracle_pkg):
     return tpu_out, eng
 
 
+class TestDirtyBloomFilter:
+    """The dirty-genome phase filter (ScanConfig.dirty_bloom, round 5):
+    bypassed units' W-clean phases are pruned by exact W-mer-occupancy
+    gathers. Deterministic byte-equality across the W tiers it touches —
+    W<=12 (exact bloom), W=13 (exact, stride 2), W=14/16 (PREFIX-filter
+    branch, shiftb > 0, and the non-exact_group `nbv & wbf` path)."""
+
+    @pytest.mark.parametrize("wordsize", [11, 13, 14, 16])
+    def test_dirty_genome_planted_hits_identical(
+        self, oracle_pkg, tmp_path, wordsize
+    ):
+        rng = random.Random(41 + wordsize)
+        n = 60_000
+        g = list("".join(rng.choices("ACGT", k=n)))
+        # 1% scattered ambiguity letters: arms dirty_bloom (w_pos >= 1/256)
+        for _ in range(n // 100):
+            g[rng.randrange(n)] = rng.choice("NRYKMSWBDHV")
+        sts_lines = []
+        for i in range(30):
+            plen = rng.randrange(max(18, wordsize + 2), 26)
+            p1 = "".join(rng.choices("ACGT", k=plen))
+            p2 = "".join(rng.choices("ACGT", k=plen))
+            size = rng.randrange(80, 300)
+            if i < 12:  # plant; every 3rd site deliberately near dirt
+                pos = rng.randrange(0, n - size - 1)
+                g[pos : pos + plen] = p1
+                g[pos + size - plen : pos + size] = p2
+                if i % 3 == 0:
+                    g[min(n - 1, pos + plen + 1)] = "R"
+            sts_lines.append(f"D{i}\t{p1}\t{p2}\t{size}")
+        for params in (
+            dict(wordsize=wordsize, iupac_mode=1),
+            dict(wordsize=wordsize, iupac_mode=0),
+        ):
+            out, eng = _case(
+                tmp_path, "\n".join(sts_lines) + "\n", "".join(g),
+                params, oracle_pkg,
+            )
+            assert out.count("\n") >= 6, (wordsize, params)  # real hits
+
+    def test_corrupt_seed_store_survives(self, tmp_path, monkeypatch):
+        """A corrupt/garbage rescan_seeds.json must never break a search
+        (persistence is best-effort by contract)."""
+        import merpcr_tpu.engine as E
+
+        cache = tmp_path / "cache"
+        cache.mkdir()
+        (cache / "rescan_seeds.json").write_text("{not json!!")
+        monkeypatch.setenv("MERPCR_TPU_CACHE_DIR", str(cache))
+        monkeypatch.setattr(E, "_SEED_STORE", None)
+        rng = random.Random(43)
+        sts_text, shared = gen_shared_wmer_sts(
+            rng, 500, wordsize=11, n_buckets=1
+        )
+        genome = gen_tandem_tract(rng, 12_000, shared[0], tract_frac=0.12)
+        sts = tmp_path / "w.sts"
+        fa = tmp_path / "w.fa"
+        sts.write_text(sts_text)
+        write_fasta(str(fa), genome)
+        out, eng = _run(
+            merpcr_tpu, str(sts), str(fa), dict(margin=50, mismatches=2)
+        )
+        assert out is not None and eng._rescan_count >= 1
+        monkeypatch.setattr(E, "_SEED_STORE", None)  # reload: now valid?
+        out2, _ = _run(
+            merpcr_tpu, str(sts), str(fa), dict(margin=50, mismatches=2)
+        )
+        assert out2 == out
+
+
 class TestMaskedNRuns:
     def test_nrun_softmask_genome_identical(self, oracle_pkg, tmp_path):
         """GRCh38-like composition at test scale: long N-runs (~5%) +
